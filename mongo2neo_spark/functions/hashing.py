@@ -1,0 +1,143 @@
+"""Deterministic hash families shared by the Spark pipeline (vectorized,
+numpy, inside Arrow-batched pandas UDFs) and the pure-Python oracle.
+
+MinHash: h_i(x) = (a_i * x + b_i) mod P with P = 2^31 - 1 (Mersenne),
+token base hash = crc32(token) mod P.  a_i * x <= 2^62 so the whole
+computation stays inside int64 — safe for numpy vectorization.
+
+Fixed seed ⇒ the Spark path and the oracle produce *identical* signatures,
+bands, and candidate pairs (SURVEY.md §5.1 parity-by-construction).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+NUM_HASHES = 24
+LSH_BANDS = 12
+LSH_ROWS = NUM_HASHES // LSH_BANDS  # 2 rows per band: high recall at τ≈0.5
+BAND_CAP = 1_000  # K3: max distinct norms per band key before the band is dropped
+_SEED = 42
+
+_rng = np.random.default_rng(_SEED)
+HASH_A = _rng.integers(1, MERSENNE_P, size=NUM_HASHES, dtype=np.int64)
+HASH_B = _rng.integers(0, MERSENNE_P, size=NUM_HASHES, dtype=np.int64)
+
+
+def token_hash(token: str) -> int:
+    """Stable 31-bit base hash of a shingle token."""
+    return zlib.crc32(token.encode("utf-8")) % MERSENNE_P
+
+
+def minhash_signature(tokens: Iterable[str]) -> List[int]:
+    """Pure-Python MinHash signature of a token set (oracle path)."""
+    xs = np.fromiter((token_hash(t) for t in tokens), dtype=np.int64)
+    if xs.size == 0:
+        return [int(MERSENNE_P)] * NUM_HASHES
+    sig = ((HASH_A[:, None] * xs[None, :] + HASH_B[:, None]) % MERSENNE_P).min(axis=1)
+    return [int(v) for v in sig]
+
+
+def minhash_signatures_batch(token_sets: Sequence[Iterable[str]]) -> np.ndarray:
+    """Vectorized batch MinHash (Spark pandas-UDF path).
+
+    One flattened hash matrix + ``minimum.reduceat`` per batch instead of a
+    Python loop per row — this is what keeps the UDF Arrow-batch-shaped.
+    Returns an (n, NUM_HASHES) int64 array; empty token sets get MERSENNE_P.
+    """
+    if len(token_sets) == 0:
+        return np.empty((0, NUM_HASHES), dtype=np.int64)
+    flat: List[int] = []
+    offsets: List[int] = []
+    empties: List[int] = []
+    for i, toks in enumerate(token_sets):
+        offsets.append(len(flat))
+        n0 = len(flat)
+        flat.extend(token_hash(t) for t in toks)
+        if len(flat) == n0:
+            empties.append(i)
+            flat.append(0)  # placeholder; overwritten below
+    xs = np.asarray(flat, dtype=np.int64)
+    h = (HASH_A[:, None] * xs[None, :] + HASH_B[:, None]) % MERSENNE_P  # (k, M)
+    sig = np.minimum.reduceat(h, np.asarray(offsets, dtype=np.int64), axis=1).T
+    if empties:
+        sig[np.asarray(empties)] = MERSENNE_P
+    return sig
+
+
+def band_keys(sig: Sequence[int]) -> List[str]:
+    """LSH band keys of a signature: one string key per band.
+
+    String keys (not re-hashed ints) so band grouping is collision-free and
+    bit-identical between the Spark path and the oracle.
+    """
+    return [
+        f"{b}:" + ":".join(str(int(v)) for v in sig[b * LSH_ROWS : (b + 1) * LSH_ROWS])
+        for b in range(LSH_BANDS)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# SimHash (near-dup detection over documents)
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 64
+
+
+def simhash(tokens: Iterable[str]) -> int:
+    """64-bit SimHash over a token multiset (crc32-seeded splitmix64 bits)."""
+    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    n = 0
+    for t in tokens:
+        n += 1
+        h = _splitmix64(zlib.crc32(t.encode("utf-8")))
+        bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(np.int64) == 1, 1, -1)
+    if n == 0:
+        return 0
+    out = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def _splitmix64(x: int) -> np.uint64:
+    z = np.uint64(x) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprint (winnowing-lite)
+# ---------------------------------------------------------------------------
+FP_WINDOW = 8
+FP_BASE = 257
+FP_MOD = MERSENNE_P
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Deterministic polynomial rolling-hash fingerprint of a document:
+    min hash over all FP_WINDOW-char windows (robust to local edits)."""
+    if not text:
+        return 0
+    data = text.encode("utf-8", "ignore")
+    if len(data) <= FP_WINDOW:
+        h = 0
+        for c in data:
+            h = (h * FP_BASE + c) % FP_MOD
+        return h
+    best = FP_MOD
+    h = 0
+    power = pow(FP_BASE, FP_WINDOW - 1, FP_MOD)
+    for i, c in enumerate(data):
+        if i >= FP_WINDOW:
+            h = (h - data[i - FP_WINDOW] * power) % FP_MOD
+        h = (h * FP_BASE + c) % FP_MOD
+        if i >= FP_WINDOW - 1 and h < best:
+            best = h
+    return best

@@ -1,0 +1,96 @@
+"""Link stage (U3 + J1 + K3 + U4): blocking-based entity linking —
+MinHash/LSH candidate generation + pairwise link scoring (SURVEY.md
+§2.3 J1, §2.10 U3/U4, §2.11 K3).
+
+THE scale decision: linking runs over *distinct norms* (the surface-form
+vocabulary), not over mentions.  10^12 turns produce ~10^13 mentions but
+a vocabulary that is orders of magnitude smaller; identical norms are
+trivially the same entity, so deduping first removes both the quadratic
+identical-norm blowup inside LSH bands and most of the shuffle volume.
+Mentions rejoin their norm's component afterwards (a vocabulary-sized
+broadcast-friendly join).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import rules
+from ..functions import hashing
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def band_keys_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """U3: norm -> LSH band keys (MinHash over char-3-gram shingles,
+    banded).  Vectorized: one flattened hash matrix + minimum.reduceat
+    per Arrow batch (functions.hashing.minhash_signatures_batch)."""
+    for norms in batches:
+        token_sets = [rules.char_ngrams(n or "") for n in norms]
+        sigs = hashing.minhash_signatures_batch(token_sets)
+        yield pd.Series([hashing.band_keys(sig) for sig in sigs])
+
+
+@pandas_udf(T.DoubleType())
+def pair_score_udf(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """U4: exact char-3-gram jaccard between two norms (shared rule —
+    identical to the oracle's scoring)."""
+    for a, b in it:
+        yield pd.Series(
+            [rules.pair_score(x or "", y or "") for x, y in zip(a, b)],
+            dtype="float64",
+        )
+
+
+def candidate_pairs(
+    mentions: DataFrame,
+    band_cap: int = hashing.BAND_CAP,
+    threshold: float = rules.LINK_THRESHOLD,
+) -> DataFrame:
+    """mentions -> scored candidate (a_norm, b_norm, score) pairs.
+
+    Plan shape: distinct(norm) [vocab-sized shuffle] -> band UDF ->
+    posexplode -> band-size cap (single window shuffle on band_key) ->
+    self equi-join on band_key with a<b -> dropDuplicates(pair) ->
+    exact-score UDF -> threshold filter.  AQE splits any residual hot
+    band at runtime (K2); bands over ``band_cap`` are dropped entirely
+    and surfaced via ``dropped_bands`` (K3 — logged, never silent).
+    """
+    norms = mentions.select("norm").distinct()
+    bands = norms.select(
+        "norm", F.explode(band_keys_udf(F.col("norm"))).alias("band_key")
+    )
+    w = Window.partitionBy("band_key")
+    bands = bands.withColumn("band_size", F.count("*").over(w)).filter(
+        F.col("band_size") <= band_cap
+    )
+    a = bands.select(F.col("norm").alias("a_norm"), "band_key")
+    b = bands.select(F.col("norm").alias("b_norm"), "band_key")
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("a_norm") < F.col("b_norm"))
+        .select("a_norm", "b_norm")
+        .dropDuplicates(["a_norm", "b_norm"])
+    )
+    scored = pairs.withColumn(
+        "score", pair_score_udf(F.col("a_norm"), F.col("b_norm"))
+    )
+    return scored.filter(F.col("score") >= threshold)
+
+
+def dropped_bands(mentions: DataFrame, band_cap: int = hashing.BAND_CAP) -> DataFrame:
+    """K3 audit: band keys whose size exceeded the cap (for lineage/metrics)."""
+    norms = mentions.select("norm").distinct()
+    bands = norms.select(
+        "norm", F.explode(band_keys_udf(F.col("norm"))).alias("band_key")
+    )
+    return (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("band_size"))
+        .filter(F.col("band_size") > band_cap)
+    )

@@ -1,0 +1,121 @@
+"""Materialize stage: resolve mentions/triples through the entity
+components, elect canonical names, and build the node/edge tables with
+set-semantics dedup — the Spark analogue of the reference's batched
+Cypher MERGE upserts (SURVEY.md §2.3 J2, §2.4 A1/A2/A4, §2.5 W3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import cc as cc_mod
+from . import link as link_mod
+
+MAX_PROVENANCE = 20
+
+
+def norm_components(mentions: DataFrame,
+                    band_cap: int | None = None,
+                    threshold: float | None = None) -> DataFrame:
+    """Full linking + canonicalization: mentions -> (norm, entity_id:long).
+
+    Vertices are the distinct norms (ids = xxhash64(norm)); edges are the
+    scored LSH candidate pairs above threshold; components come from the
+    iterative min-label CC.  Singleton norms keep their own id.
+    """
+    kwargs = {}
+    if band_cap is not None:
+        kwargs["band_cap"] = band_cap
+    if threshold is not None:
+        kwargs["threshold"] = threshold
+    pairs = link_mod.candidate_pairs(mentions, **kwargs)
+    norms = mentions.select("norm").distinct().withColumn(
+        "id", F.xxhash64("norm")
+    )
+    edges = (
+        pairs.select(
+            F.xxhash64("a_norm").alias("src"), F.xxhash64("b_norm").alias("dst")
+        )
+    )
+    comp = cc_mod.connected_components(edges, norms.select("id"))
+    return norms.join(comp, "id").select("norm", F.col("component").alias("entity_id"))
+
+
+def canonical_names(mentions: DataFrame, components: DataFrame) -> DataFrame:
+    """W3: per entity, the most frequent norm (by mention count), ties
+    broken lexicographically -> (entity_id, entity) canonical name."""
+    counts = mentions.groupBy("norm").agg(F.count("*").alias("cnt"))
+    joined = counts.join(components, "norm")
+    w = Window.partitionBy("entity_id").orderBy(F.desc("cnt"), F.asc("norm"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("entity_id", F.col("norm").alias("entity"))
+    )
+
+
+def _norm_to_entity(components: DataFrame, canon: DataFrame) -> DataFrame:
+    """norm -> canonical entity name (vocabulary-sized, broadcast-friendly)."""
+    return components.join(canon, "entity_id").select("norm", "entity")
+
+
+def resolve_triples(raw_triples: DataFrame, components: DataFrame,
+                    canon: DataFrame) -> DataFrame:
+    """J2: rewrite raw (subj_norm, pred, obj_norm) to canonical entities.
+
+    The norm->entity map is vocabulary-sized — broadcast both joins so
+    the (huge) triple stream never shuffles here.
+    """
+    n2e = F.broadcast(_norm_to_entity(components, canon))
+    return (
+        raw_triples.join(
+            n2e.withColumnsRenamed({"norm": "subj_norm", "entity": "subj"}),
+            "subj_norm",
+        )
+        .join(
+            n2e.withColumnsRenamed({"norm": "obj_norm", "entity": "obj"}),
+            "obj_norm",
+        )
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+    )
+
+
+def edges(resolved: DataFrame, max_provenance: int = MAX_PROVENANCE) -> DataFrame:
+    """A1: weighted edges with bounded, deterministically-ordered provenance."""
+    return resolved.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("weight"),
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("conv_id", "turn_idx"))),
+            1,
+            max_provenance,
+        ).alias("provenance"),
+    )
+
+
+def triples(resolved: DataFrame) -> DataFrame:
+    """A4: the distinct (subj, pred, obj) set — the scored artifact."""
+    return resolved.select("subj", "pred", "obj").dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+
+
+def nodes(mentions: DataFrame, components: DataFrame, canon: DataFrame) -> DataFrame:
+    """A2 + W3: node table with mention stats and majority kind."""
+    n2e = F.broadcast(_norm_to_entity(components, canon))
+    m = mentions.join(n2e, "norm")
+    stats = m.groupBy("entity").agg(
+        F.count("*").alias("n_mentions"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    kind_counts = m.groupBy("entity", "kind").agg(F.count("*").alias("kcnt"))
+    w = Window.partitionBy("entity").orderBy(F.desc("kcnt"), F.asc("kind"))
+    kinds = (
+        kind_counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("entity", "kind")
+    )
+    return stats.join(kinds, "entity").select(
+        "entity", "kind", "n_mentions", "first_ts", "last_ts"
+    )

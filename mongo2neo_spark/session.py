@@ -1,0 +1,57 @@
+"""SparkSession factory with the contract configuration.
+
+Arrow-vectorized Python, AQE + skew-join handling, dynamic partition
+overwrite (idempotent per-partition replace = the Cypher-MERGE
+equivalent), and shuffle-partition sizing for local[N] testing that
+still reflects multi-executor design (SURVEY.md §2.10/§2.11/§4).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    # Arrow batching is contractual: "vectorized pandas/Arrow UDFs
+    # (no per-row Python)" — BASELINE.json input_hint.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
+    # AQE: runtime shuffle coalescing + skew-join splitting (K2).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # idempotent per-partition overwrite (S2 / MERGE semantics).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # deterministic session timezone for timestamp comparisons.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "mongo2neo_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    else:
+        # >= 4x cores so AQE has room to coalesce (SURVEY.md §4)
+        confs.setdefault("spark.sql.shuffle.partitions", "128")
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # reliable checkpoint dir for iterative CC lineage truncation (S4)
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "m2n_checkpoints")
+        )
+    return spark
