@@ -1,0 +1,204 @@
+"""End-to-end pipeline driver (E1, SURVEY.md §3): the spark-submit entry
+point that runs
+
+    ingest → extract → link → canonicalize → materialize
+
+with per-partition lineage, idempotent resume, and salted skew handling.
+
+    spark-submit --py-files m2n.zip -m mongo2neo_spark.plans.pipeline \
+        --input <transcripts parquet/iceberg> --out <dir> [--no-resume]
+
+Each stage is a pure DataFrame function (operators/*); this module only
+sequences them, writes their outputs via the IO abstraction, and records
+lineage.  Re-running a completed pipeline is a no-op (lineage skip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import uuid
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import rules
+from ..functions import hashing
+from ..operators import cc as cc_mod
+from ..operators import extract as extract_mod
+from ..operators import ingest as ingest_mod
+from ..operators import link as link_mod
+from ..operators import materialize as mat_mod
+from ..operators import skew as skew_mod
+from ..sources import io as m2nio
+from . import lineage as lin
+
+
+@dataclass
+class PipelineConfig:
+    n_buckets: int = 64          # extraction lineage/resume granularity
+    salt: int = skew_mod.DEFAULT_SALT
+    band_cap: int = hashing.BAND_CAP
+    threshold: float = rules.LINK_THRESHOLD
+    max_provenance: int = mat_mod.MAX_PROVENANCE
+    shuffle_partitions: Optional[int] = None
+    run_id: str = ""
+
+    def __post_init__(self):
+        if not self.run_id:
+            self.run_id = uuid.uuid4().hex[:12]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_source: str,
+    out_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    resume: bool = True,
+) -> Dict[str, str]:
+    cfg = cfg or PipelineConfig()
+    paths = {
+        "mentions": f"{out_dir}/mentions",
+        "raw_triples": f"{out_dir}/raw_triples",
+        "components": f"{out_dir}/components",
+        "nodes": f"{out_dir}/nodes",
+        "edges": f"{out_dir}/edges",
+        "triples": f"{out_dir}/triples",
+        "lineage": lin.lineage_path(out_dir),
+    }
+    _stage_extract(spark, input_source, paths, cfg, resume)
+    _stage_components(spark, paths, cfg, resume)
+    _stage_materialize(spark, paths, cfg, resume)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# stage 1: ingest + extract (bucket-granular resume)
+# ---------------------------------------------------------------------------
+def _stage_extract(spark, input_source, paths, cfg, resume) -> None:
+    stage = "extract"
+    done = set(lin.completed_keys(spark, paths["lineage"].rsplit("/", 1)[0], stage)) if resume else set()
+    all_buckets = {str(b) for b in range(cfg.n_buckets)}
+    todo = sorted(all_buckets - done, key=int)
+    if not todo:
+        return
+    out_root = paths["lineage"].rsplit("/", 1)[0]
+
+    with lin.StageTimer() as t:
+        turns = ingest_mod.ingest(m2nio.read_transcripts(spark, input_source))
+        turns = turns.withColumn(
+            "bucket", skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets)
+        )
+        if len(todo) < cfg.n_buckets:
+            turns = turns.filter(F.col("bucket").isin([int(b) for b in todo]))
+        turns = skew_mod.salted_repartition(turns, salt=cfg.salt)
+        ex = extract_mod.extract(turns)
+        # bucket is a pure function of conv_id — recompute after the UDF
+        # instead of carrying (or joining) it through the extraction
+        ments = extract_mod.mentions(ex).withColumn(
+            "bucket", skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets)
+        )
+        raw = extract_mod.raw_triples(ex).withColumn(
+            "bucket", skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets)
+        )
+        # dynamic partition overwrite = idempotent per-bucket replace (S2)
+        m2nio.write_table(ments, paths["mentions"], partition_by=["bucket"])
+        m2nio.write_table(raw, paths["raw_triples"], partition_by=["bucket"])
+
+    # lineage: per-bucket metrics from the written outputs (reads back the
+    # bucket-pruned parquet — cheap, and records what actually landed)
+    written = spark.read.parquet(paths["mentions"]).filter(
+        F.col("bucket").isin([int(b) for b in todo])
+    )
+    metrics = {r.partition_key: r for r in lin.stage_metrics(written, "bucket").collect()}
+    entries = []
+    for b in todo:
+        m = metrics.get(b)
+        entries.append(
+            (b, 0, m.output_rows if m else 0, m.checksum if m else "0", t.wall_ms)
+        )
+    lin.record(spark, out_root, stage, entries, cfg.run_id)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: link + canonicalize (global stage)
+# ---------------------------------------------------------------------------
+def _stage_components(spark, paths, cfg, resume) -> None:
+    stage = "components"
+    out_root = paths["lineage"].rsplit("/", 1)[0]
+    if resume and lin.completed_keys(spark, out_root, stage):
+        return
+    with lin.StageTimer() as t:
+        ments = spark.read.parquet(paths["mentions"])
+        comp = mat_mod.norm_components(
+            ments, band_cap=cfg.band_cap, threshold=cfg.threshold
+        )
+        m2nio.write_table(comp, paths["components"])
+        dropped = link_mod.dropped_bands(ments, cfg.band_cap).count()
+    written = spark.read.parquet(paths["components"])
+    row = written.agg(
+        F.count("*").alias("n"), lin.checksum_col(written).alias("c")
+    ).collect()[0]
+    lin.record(
+        spark, out_root, stage,
+        [(lin.STAGE_KEY, dropped, row.n, row.c or "0", t.wall_ms)],
+        cfg.run_id,
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 3: materialize (global stage)
+# ---------------------------------------------------------------------------
+def _stage_materialize(spark, paths, cfg, resume) -> None:
+    stage = "materialize"
+    out_root = paths["lineage"].rsplit("/", 1)[0]
+    if resume and lin.completed_keys(spark, out_root, stage):
+        return
+    with lin.StageTimer() as t:
+        ments = spark.read.parquet(paths["mentions"])
+        raw = spark.read.parquet(paths["raw_triples"])
+        comp = spark.read.parquet(paths["components"])
+        canon = mat_mod.canonical_names(ments, comp)
+        resolved = mat_mod.resolve_triples(raw, comp, canon)
+        m2nio.write_table(
+            mat_mod.nodes(ments, comp, canon), paths["nodes"]
+        )
+        m2nio.write_table(
+            mat_mod.edges(resolved, cfg.max_provenance), paths["edges"]
+        )
+        m2nio.write_table(mat_mod.triples(resolved), paths["triples"])
+    written = spark.read.parquet(paths["triples"])
+    row = written.agg(
+        F.count("*").alias("n"), lin.checksum_col(written).alias("c")
+    ).collect()[0]
+    lin.record(
+        spark, out_root, stage,
+        [(lin.STAGE_KEY, 0, row.n, row.c or "0", t.wall_ms)],
+        cfg.run_id,
+    )
+
+
+def main(argv=None) -> None:
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(description="transcript -> KG pipeline")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=skew_mod.DEFAULT_SALT)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args(argv)
+    spark = get_spark(
+        master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+    cfg = PipelineConfig(n_buckets=args.buckets, salt=args.salt)
+    paths = run_pipeline(spark, args.input, args.out, cfg, resume=not args.no_resume)
+    n = spark.read.parquet(paths["triples"]).count()
+    print(f"pipeline complete: {n} distinct triples -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
