@@ -1,38 +1,543 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship document→graph ETL (the mongo2neo analog) on
+sf0.001.  ``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 plus the training-data operators; each has a DuckDB oracle in
+``oracle_sql()`` unless the op is not SQL-expressible (MinHash/LSH, CC,
+hyperplane LSH, rolling fingerprints, the full KG pipeline) — those are
+rows-only checks here but are validated against the pure-Python oracle in
+tests/ (P/R == 1.0).
+
+Column names and integer widths are aligned between both sides: every
+computed column is aliased identically, counts/ranks cast to bigint,
+floating aggregates rounded to fixed decimals.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: TPC-H-ish tables -> labeled property graph (mongo2neo analog:
+# documents to nodes, reference arrays to typed directed relationships)
+# ---------------------------------------------------------------------------
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def edge(df, src_prefix, src_key, rel, dst_prefix, dst_key):
+        return df.select(
+            F.concat_ws(":", F.lit(src_prefix), F.col(src_key).cast("string")).alias("src"),
+            F.lit(rel).alias("rel_type"),
+            F.concat_ws(":", F.lit(dst_prefix), F.col(dst_key).cast("string")).alias("dst"),
+        )
+
+    edges = (
+        edge(customer, "customer", "c_custkey", "LOCATED_IN", "nation", "c_nationkey")
+        .unionByName(edge(supplier, "supplier", "s_suppkey", "LOCATED_IN", "nation", "s_nationkey"))
+        .unionByName(edge(nation, "nation", "n_nationkey", "PART_OF", "region", "n_regionkey"))
+        .unionByName(edge(orders, "order", "o_orderkey", "PLACED_BY", "customer", "o_custkey"))
+        .unionByName(edge(lineitem, "order", "l_orderkey", "CONTAINS", "part", "l_partkey"))
+        .unionByName(edge(lineitem, "supplier", "l_suppkey", "SUPPLIES", "part", "l_partkey"))
+    )
+    # MERGE semantics: distinct (src, rel_type, dst) set
+    return edges.dropDuplicates(["src", "rel_type", "dst"])
+
+
+_GRAPH_EDGES_SQL = """
+WITH e AS (
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src, 'LOCATED_IN' AS rel_type,
+         'nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'LOCATED_IN',
+         'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'PART_OF',
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'PLACED_BY',
+         'customer:' || CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'order:' || CAST(l_orderkey AS VARCHAR), 'CONTAINS',
+         'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'supplier:' || CAST(l_suppkey AS VARCHAR), 'SUPPLIES',
+         'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+)
+SELECT DISTINCT src, rel_type, dst FROM e
+"""
+
+
+def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def node(df, label, key, name_col):
+        return df.select(
+            F.concat_ws(":", F.lit(label), F.col(key).cast("string")).alias("node_id"),
+            F.lit(label).alias("label"),
+            F.col(name_col).cast("string").alias("name"),
+        )
+
+    return (
+        node(_t(spark, sf_dir, "customer"), "customer", "c_custkey", "c_name")
+        .unionByName(node(_t(spark, sf_dir, "supplier"), "supplier", "s_suppkey", "s_name"))
+        .unionByName(node(_t(spark, sf_dir, "nation"), "nation", "n_nationkey", "n_name"))
+        .unionByName(node(_t(spark, sf_dir, "region"), "region", "r_regionkey", "r_name"))
+        .unionByName(node(_t(spark, sf_dir, "part"), "part", "p_partkey", "p_name"))
+    )
+
+
+_GRAPH_NODES_SQL = """
+SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node_id, 'customer' AS label,
+       CAST(c_name AS VARCHAR) AS name FROM customer
+UNION ALL
+SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'supplier', s_name FROM supplier
+UNION ALL
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'nation', n_name FROM nation
+UNION ALL
+SELECT 'region:' || CAST(r_regionkey AS VARCHAR), 'region', r_name FROM region
+UNION ALL
+SELECT 'part:' || CAST(p_partkey AS VARCHAR), 'part', p_name FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (SURVEY.md §2.2-2.7, §2.9)
+# ---------------------------------------------------------------------------
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_AGG_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_JOIN_REVENUE_SQL = """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def broadcast_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_name", "r_name")
+
+
+_BROADCAST_SQL = "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey"
+
+
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_WINDOW_TOP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def topk_expensive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+_TOPK_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+"""
+
+
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def semi_suppliers_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return supplier.join(
+        lineitem, supplier["s_suppkey"] == lineitem["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+def events_json_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "k", F.from_json("props", "struct<k:int>")["k"].cast("long")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2-style lag window: per user, count sessions split at >30 min gaps."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "n_chars")
+
+
+_EXACT_DEDUP_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+"""
+
+
+def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").cast("long").alias("n_tokens"),
+        textops.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LEN(regexp_extract_all(TRIM(text), '\S+')) END AS n_tokens,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def quality_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(textops.quality_score("text"), 6).alias("quality")
+    )
+
+
+_QUALITY_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_extract_all(TRIM(text), '\S+')) END AS n_tok,
+         LEN(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|in|is|for)\b')) AS n_stop,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         LENGTH(text) AS n_char
+  FROM documents)
+SELECT doc_id,
+       ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+           + 0.3 * (1.0 - LEAST((n_punct::DOUBLE / GREATEST(n_char, 1)) * 5.0, 1.0))
+           + 0.3 * LEAST((n_stop::DOUBLE / GREATEST(n_tok, 1)) * 4.0, 1.0), 6) AS quality
+FROM b
+"""
+
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.lang_id("text").alias("pred_lang"))
+
+
+def _lang_id_sql() -> str:
+    from mongo2neo_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    cnts = ",\n       ".join(
+        "LEN(regexp_extract_all(LOWER(text), '\\b("
+        + "|".join(LANG_MARKERS[l])
+        + ")\\b')) AS c_" + l
+        for l in langs
+    )
+    best = "GREATEST(" + ", ".join("c_" + l for l in langs) + ")"
+    whens = " ".join(f"WHEN c_{l} = {best} THEN '{l}'" for l in langs)
+    return f"""
+WITH b AS (SELECT doc_id, {cnts} FROM documents)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'unknown' {whens} ELSE 'unknown' END AS pred_lang
+FROM b
+"""
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter("vec_id < 5"), k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+scored AS (
+  SELECT qid, nid,
+         list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+         / (SQRT(list_sum(list_transform(qv, x -> x * x)))
+            * SQRT(list_sum(list_transform(cv, x -> x * x)))) AS cos
+  FROM q, c WHERE qid != nid),
+ranked AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# --- rows-only checks (not SQL-expressible; validated vs the pure-Python
+# oracle in tests/) ---------------------------------------------------------
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(emb, emb.filter("vec_id < 5"), k=10, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators.dedup import minhash_dedup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_components(docs, "text", "doc_id", threshold=0.5)
+
+
+def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators.dedup import simhash_groups
+
+    return simhash_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators.text import fingerprint_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+def kg_triples_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full transcript->KG pipeline on the deterministic synthetic
+    fixture (the contract input shape; parity vs the pure-Python oracle
+    is asserted in tests/test_pipeline.py)."""
+    from mongo2neo_spark import fixtures
+    from mongo2neo_spark.operators import extract, ingest, materialize, skew
+
+    rows = fixtures.generate_transcripts(n_convs=10, seed=11, max_turns=40)
+    df = spark.createDataFrame(fixtures.turns_to_pandas(rows))
+    turns = skew.salted_repartition(ingest.ingest(df), 16)
+    ex = extract.extract(turns)
+    ments = extract.mentions(ex)
+    raw = extract.raw_triples(ex)
+    comp = materialize.norm_components(ments)
+    canon = materialize.canonical_names(ments, comp)
+    return materialize.triples(materialize.resolve_triples(raw, comp, canon))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=64, seed=42)
+    return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document->property-graph ETL on sf0.001 (rows > 0)."""
+    return graph_edges(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "graph_edges": graph_edges,
+        "graph_nodes": graph_nodes,
+        "agg_pricing_summary": agg_pricing_summary,
+        "join_revenue_by_nation": join_revenue_by_nation,
+        "broadcast_nation_region": broadcast_nation_region,
+        "window_top_orders_per_customer": window_top_orders_per_customer,
+        "topk_expensive_parts": topk_expensive_parts,
+        "anti_customers_without_orders": anti_customers_without_orders,
+        "semi_suppliers_with_lineitems": semi_suppliers_with_lineitems,
+        "events_json_by_type": events_json_by_type,
+        "events_sessionize": events_sessionize,
+        "rollup_orders_status_priority": rollup_orders_status_priority,
+        "exact_dedup_documents": exact_dedup_documents,
+        "token_counts_documents": token_counts_documents,
+        "quality_scores_documents": quality_scores_documents,
+        "lang_id_documents": lang_id_documents,
+        "ann_topk_cosine": ann_topk_cosine,
+        "ann_lsh_topk": ann_lsh_topk,
+        "minhash_doc_clusters": minhash_doc_clusters,
+        "simhash_doc_signatures": simhash_doc_signatures,
+        "doc_fingerprints": doc_fingerprints,
+        "kg_triples_synthetic": kg_triples_synthetic,
+        "multimodal_features": multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_edges": _GRAPH_EDGES_SQL,
+        "graph_nodes": _GRAPH_NODES_SQL,
+        "agg_pricing_summary": _AGG_PRICING_SQL,
+        "join_revenue_by_nation": _JOIN_REVENUE_SQL,
+        "broadcast_nation_region": _BROADCAST_SQL,
+        "window_top_orders_per_customer": _WINDOW_TOP_SQL,
+        "topk_expensive_parts": _TOPK_PARTS_SQL,
+        "anti_customers_without_orders": _ANTI_SQL,
+        "semi_suppliers_with_lineitems": _SEMI_SQL,
+        "events_json_by_type": _EVENTS_JSON_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
+        "rollup_orders_status_priority": _ROLLUP_SQL,
+        "exact_dedup_documents": _EXACT_DEDUP_SQL,
+        "token_counts_documents": _TOKEN_COUNTS_SQL,
+        "quality_scores_documents": _QUALITY_SQL,
+        "lang_id_documents": _lang_id_sql(),
+        "ann_topk_cosine": _ANN_TOPK_SQL,
+        # ann_lsh_topk / minhash_doc_clusters / simhash_doc_signatures /
+        # doc_fingerprints / kg_triples_synthetic / multimodal_features:
+        # not SQL-expressible -> rows-only checks (oracle parity in tests/)
+    }

@@ -1,0 +1,171 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, MinHash+LSH near-dup, SimHash near-dup, and n-gram
+Jaccard — all DataFrame-first, reusing the engine's hashing and
+connected-components machinery.
+
+Scale shape (identical for every near-dup variant):
+    signature UDF (Arrow batch) → band/bucket explode → bucket self-join
+    (equi join, AQE-skew-handled) → exact verify → CC → min-id survivor.
+The self-join is always *within buckets*, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import hashing
+from . import cc as cc_mod
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per identical text value.
+
+    A single hash-aggregate shuffle on the text hash — at 100 TB the
+    group key should be xxhash64(text), not text itself, to keep shuffle
+    rows narrow; we group on the hash and keep the text from the survivor.
+    """
+    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-shingle MinHash LSH near-dup
+# ---------------------------------------------------------------------------
+def _word_shingles(text: str, n: int = 3) -> frozenset:
+    toks = (text or "").split()
+    if len(toks) < n:
+        return frozenset((" ".join(toks),)) if toks else frozenset()
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _shingle_band_keys_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for texts in batches:
+        token_sets = [_word_shingles(t) for t in texts]
+        sigs = hashing.minhash_signatures_batch(token_sets)
+        yield pd.Series([hashing.band_keys(sig) for sig in sigs])
+
+
+@pandas_udf(T.DoubleType())
+def _shingle_jaccard_udf(
+    it: Iterator[Tuple[pd.Series, pd.Series]]
+) -> Iterator[pd.Series]:
+    for a, b in it:
+        out = []
+        for x, y in zip(a, b):
+            sa, sb = _word_shingles(x), _word_shingles(y)
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 1.0)
+        yield pd.Series(out, dtype="float64")
+
+
+def minhash_dedup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    band_cap: int = hashing.BAND_CAP,
+) -> DataFrame:
+    """(id, component) near-dup clusters: MinHash over word-3-shingles,
+    LSH banding, exact jaccard verify at ``threshold``, CC."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
+    )
+    bands = base.select(
+        "id", "_t", F.explode(_shingle_band_keys_udf(F.col("_t"))).alias("band_key")
+    )
+    w = Window.partitionBy("band_key")
+    bands = bands.withColumn("bs", F.count("*").over(w)).filter(
+        F.col("bs") <= band_cap
+    )
+    a = bands.select(F.col("id").alias("a_id"), F.col("_t").alias("a_t"), "band_key")
+    b = bands.select(F.col("id").alias("b_id"), F.col("_t").alias("b_t"), "band_key")
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("jac", _shingle_jaccard_udf(F.col("a_t"), F.col("b_t")))
+        .filter(F.col("jac") >= threshold)
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    return cc_mod.connected_components(edges, base.select("id"))
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
+    """Near-dup dedup: keep the min-id document of each near-dup cluster."""
+    comp = minhash_dedup_components(df, text_col, id_col, threshold)
+    survivors = comp.groupBy("component").agg(F.min("id").alias("keep_id"))
+    return df.join(
+        survivors.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+@pandas_udf(T.LongType())
+def _simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for texts in batches:
+        yield pd.Series(
+            [_to_i64(hashing.simhash((t or "").split())) for t in texts],
+            dtype="int64",
+        )
+
+
+def _to_i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def simhash_groups(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — near-dups land on close hamming distance; banding
+    the 64 bits into 4×16-bit chunks finds all pairs within hamming<=3
+    guaranteed (pigeonhole): at least one chunk is identical."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _simhash_udf(F.col(text_col)).alias("simhash"),
+    )
+
+
+def simhash_dedup_components(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_hamming: int = 3) -> DataFrame:
+    sh = simhash_groups(df, text_col, id_col)
+    chunks = sh.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":", F.lit(i),
+                    F.conv(
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)),
+                        10, 16,
+                    ),
+                )
+                for i in range(4)
+            ])
+        ).alias("chunk_key"),
+    )
+    a = chunks.select(F.col("id").alias("a_id"), F.col("simhash").alias("a_h"), "chunk_key")
+    b = chunks.select(F.col("id").alias("b_id"), F.col("simhash").alias("b_h"), "chunk_key")
+    pairs = (
+        a.join(b, "chunk_key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("ham", F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))))
+        .filter(F.col("ham") <= max_hamming)
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    return cc_mod.connected_components(edges, sh.select("id"))

@@ -27,6 +27,8 @@ DEFAULT_CONFS = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # deterministic session timezone for timestamp comparisons.
     "spark.sql.session.timeZone": "UTC",
+    # progress bars corrupt harness stdout parsing
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -1,0 +1,56 @@
+"""Dedup operators: exact, MinHash-LSH near-dup, SimHash."""
+
+import pandas as pd
+import pytest
+
+from mongo2neo_spark.operators import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, ["aaa", "bbb", "aaa", "aaa", "ccc"])
+    out = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    assert out == [0, 1, 4]
+
+
+def test_minhash_dedup_merges_near_duplicates(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(58)) + " x1 x2"  # ~93% shingle overlap
+    other = " ".join(f"zzz{i}" for i in range(60))
+    df = _docs(spark, [base, near, other])
+    comp = {r.id: r.component for r in
+            dedup.minhash_dedup_components(df, threshold=0.7).collect()}
+    assert comp[0] == comp[1]  # near-dups merged
+    assert comp[2] != comp[0]  # unrelated doc stays apart
+    kept = sorted(r.doc_id for r in dedup.minhash_dedup(df, threshold=0.7).collect())
+    assert kept == [0, 2]
+
+
+def test_minhash_dedup_identical_texts(spark):
+    t = "alpha beta gamma delta epsilon zeta"
+    df = _docs(spark, [t, t, t])
+    kept = sorted(r.doc_id for r in dedup.minhash_dedup(df).collect())
+    assert kept == [0]
+
+
+def test_simhash_components_cluster_hamming_close(spark):
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(198)) + " q1 q2"
+    far = " ".join(f"v{i}" for i in range(200))
+    df = _docs(spark, [base, near, far])
+    comp = {r.id: r.component for r in
+            dedup.simhash_dedup_components(df, max_hamming=12).collect()}
+    assert comp[0] == comp[1]
+    assert comp[2] != comp[0]
+
+
+def test_simhash_deterministic(spark):
+    df = _docs(spark, ["hello world foo bar"])
+    a = dedup.simhash_groups(df).collect()[0].simhash
+    b = dedup.simhash_groups(df).collect()[0].simhash
+    assert a == b

@@ -1,0 +1,61 @@
+"""Similarity search: brute-force exactness vs numpy, LSH approximation
+properties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mongo2neo_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_brute_force_matches_numpy(spark, emb_df):
+    df, vecs = emb_df
+    out = similarity.brute_force_topk(df, df.filter("vec_id < 3"), k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos))
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for q in range(3):
+        cos = (v @ v[q]) / (norms * norms[q])
+        order = sorted(
+            (i for i in range(50) if i != q), key=lambda i: (-cos[i], i)
+        )[:5]
+        mine = sorted(got[q])
+        assert [n for _, n, _ in mine] == order
+        for (_, n, c) in mine:
+            assert c == pytest.approx(cos[n], abs=1e-9)
+
+
+def test_lsh_results_subset_of_bruteforce_scores(spark, emb_df):
+    df, vecs = emb_df
+    out = similarity.lsh_bucketed_topk(
+        df, df.filter("vec_id < 3"), k=5, dim=16, n_planes=4
+    ).collect()
+    # every returned neighbor must share the query's bucket -> ranks are
+    # contiguous from 1 and scores match exact cosine
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+        cos = float(v[r.query_id] @ v[r.neighbor_id] / (norms[r.query_id] * norms[r.neighbor_id]))
+        assert r.cos == pytest.approx(cos, abs=1e-9)
+    for q, rows in per_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_self_excluded(spark, emb_df):
+    df, _ = emb_df
+    out = similarity.brute_force_topk(df, df.filter("vec_id < 3"), k=5).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)

@@ -1,0 +1,73 @@
+"""Text-analysis operators: counts, quality, lang-id, fingerprints."""
+
+import pandas as pd
+import pytest
+
+from mongo2neo_spark.functions import hashing
+from mongo2neo_spark.operators import text as textops
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_token_count(spark):
+    df = _docs(spark, ["one two three", "  padded   tokens  ", "", "single"])
+    out = {r.doc_id: r.n for r in
+           df.select("doc_id", textops.token_count("text").alias("n")).collect()}
+    assert out == {0: 3, 1: 2, 2: 0, 3: 1}
+
+
+def test_bpe_ish_token_count(spark):
+    df = _docs(spark, ["hello, world! 42", "a-b"])
+    out = {r.doc_id: r.n for r in
+           df.select("doc_id", textops.bpe_ish_token_count("text").alias("n")).collect()}
+    # hello , world ! 42 -> 5 ; a - b -> 3
+    assert out == {0: 5, 1: 3}
+
+
+def test_lang_id_markers(spark):
+    df = _docs(spark, [
+        "the cat and the dog is in the house",
+        "der hund und die katze ist nicht da",
+        "el perro y la casa que es de los gatos",
+        "le chat et la maison est des le les",
+        "xyzzy plugh",
+    ])
+    out = {r.doc_id: r.lang for r in
+           df.select("doc_id", textops.lang_id("text").alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+    assert out[3] == "fr"
+    assert out[4] == "unknown"
+
+
+def test_quality_score_range(spark):
+    df = _docs(spark, ["the quick brown fox and the lazy dog " * 10, "!!!", ""])
+    rows = {r.doc_id: r.q for r in
+            df.select("doc_id", textops.quality_score("text").alias("q")).collect()}
+    assert all(0.0 <= rows[i] <= 1.0 for i in rows)
+    assert rows[0] > 0.5          # real prose scores high
+    assert rows[1] < 0.1          # pure punctuation scores near zero
+    assert rows[2] < rows[0]      # empty text below real prose
+
+
+def test_fingerprint_matches_pure_python(spark):
+    texts = ["the quick brown fox jumps over the lazy dog", "", "short"]
+    df = _docs(spark, texts)
+    out = {r.doc_id: r.fp for r in
+           df.select("doc_id", textops.fingerprint_udf("text").alias("fp")).collect()}
+    for i, t in enumerate(texts):
+        assert out[i] == hashing.rolling_fingerprint(t)
+
+
+def test_text_profile_shape(spark):
+    df = _docs(spark, ["the cat and the dog", "der hund und die katze"])
+    prof = textops.text_profile(df)
+    assert set(prof.columns) >= {
+        "n_tokens", "n_bpe_tokens", "quality", "pred_lang", "fingerprint"
+    }
+    assert prof.count() == 2
