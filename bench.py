@@ -1,0 +1,136 @@
+"""Headline benchmark suite.
+
+Runs the flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": <total sec>, "unit": "sec",
+        "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+The KG pipeline benchmark runs on deterministic synthetic transcripts
+(the contract input shape), sized to the sf of the relational tables and
+cached as parquet under /tmp so generation cost isn't measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# transcripts scale per sf tier: ~2k convs/sf0.01-equivalent, Zipf-hot
+_N_CONVS = {"sf0.001": 30, "sf0.01": 80, "sf0.1": 250}
+CACHE_ROOT = "/tmp/m2n_bench_cache"
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def _transcripts_path(spark) -> str:
+    """Generate-once-and-cache the synthetic transcript table."""
+    n_convs = _N_CONVS.get(_sf_name(), 250)
+    path = f"{CACHE_ROOT}/transcripts_{n_convs}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from mongo2neo_spark import fixtures
+
+        rows = fixtures.generate_transcripts(n_convs=n_convs, seed=42)
+        pdf = fixtures.turns_to_pandas(rows)
+        spark.createDataFrame(pdf).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mongo2neo_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="m2n-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(int(CPUS) * 4, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    tpath = _transcripts_path(spark)
+    n_turns = spark.read.parquet(tpath).count()
+
+    # warm the JVM + Python UDF workers so timings measure the engine,
+    # not first-use codegen/worker-spawn: touch every UDF code path once
+    from mongo2neo_spark.operators import extract as _ex
+    from mongo2neo_spark.operators import link as _lk
+    from mongo2neo_spark.operators import materialize as _mt
+
+    warm = spark.read.parquet(tpath).limit(512)
+    wm = _ex.mentions(_ex.extract(warm)).persist()
+    _mt.canonical_names(wm, _mt.norm_components(wm)).count()
+    wm.unpersist()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # 1. the KG pipeline end-to-end (fresh out dir: no resume short-circuit)
+    out_dir = tempfile.mkdtemp(prefix="m2n_bench_out_")
+
+    def kg():
+        from mongo2neo_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+        # 16 buckets x 8 salt = 128 write combos ≈ shuffle width: right-
+        # sized file counts for this data volume (scale n_buckets with data)
+        cfg = PipelineConfig(n_buckets=16, salt=8, run_id="bench")
+        paths = run_pipeline(spark, tpath, f"{out_dir}/kg", cfg, resume=False)
+        spark.read.parquet(paths["triples"]).count()
+
+    timed("kg_pipeline", kg)
+
+    # 2. relational / graph / training-data headliners from __spark_entry__
+    heads = [
+        "graph_edges",
+        "agg_pricing_summary",
+        "join_revenue_by_nation",
+        "window_top_orders_per_customer",
+        "minhash_doc_clusters",
+        "ann_topk_cosine",
+        "token_counts_documents",
+        "quality_scores_documents",
+    ]
+    qs = entrymod.queries()
+    for name in heads:
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_name(),
+                "kg_turns": n_turns,
+                "kg_turns_per_sec": round(n_turns / timings["kg_pipeline"], 1),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -38,31 +38,90 @@ def connected_components(
     sym = sym.repartition("src").persist()
     labels = vertices.select(F.col("id"), F.col("id").alias("label"))
     labels = _materialize(labels)
+    handle = labels  # the persisted DataFrame backing `labels`
 
     for _ in range(max_iterations):
-        # neighbor labels: for each edge src->dst, src's label flows to dst
+        # neighbor labels: for each edge src->dst, src's label flows to dst.
+        # The old label rides along (is_old tag) so one aggregation yields
+        # BOTH the new min-label and the change indicator — a single
+        # shuffle per round, no separate old-vs-new join.
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "label"
+            F.col("dst").alias("id"), "label", F.lit(False).alias("is_old")
         )
-        new_labels = (
-            msgs.unionByName(labels.select("id", "label"))
+        olds = labels.select("id", "label", F.lit(True).alias("is_old"))
+        agg = (
+            msgs.unionByName(olds)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+            )
         )
-        new_labels = _materialize(new_labels)
+        agg = _materialize(agg)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            agg.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        handle.unpersist()
+        handle = agg
+        labels = agg.select("id", "label")
         if changed == 0:
             break
     sym.unpersist()
     return labels.select("id", F.col("label").alias("component"))
+
+
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    vertices: DataFrame,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
+    """Size-adaptive CC — the AQE-broadcast-threshold idea applied to
+    graph canonicalization.
+
+    The mention graph's edge set is *vocabulary* metadata (distinct
+    surface-form pairs), orders of magnitude smaller than the mention
+    stream.  Below ``driver_max_edges`` it is collected and union-found
+    on the driver in one pass (exact same min-id semantics, ~10 driver
+    jobs cheaper); above it, the distributed iterative version runs.
+    """
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges > driver_max_edges:
+        out = connected_components(edges, vertices)
+        edges.unpersist()
+        return out
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    # collect, not toLocalIterator: the branch guarantees <= driver_max_edges
+    # rows (~80 MB at the 5M default), and toLocalIterator pays one
+    # sequential job per partition
+    for row in edges.select("src", "dst").collect():
+        ra, rb = find(row.src), find(row.dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    edges.unpersist()
+    mapping = [(k, find(k)) for k in parent]
+    spark = vertices.sparkSession
+    if not mapping:
+        return vertices.select("id", F.col("id").alias("component"))
+    comp = spark.createDataFrame(mapping, "id long, component long")
+    # vertices not touched by any edge are singletons
+    return (
+        vertices.join(F.broadcast(comp), "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
 
 
 def _materialize(df: DataFrame) -> DataFrame:

@@ -99,7 +99,7 @@ def minhash_dedup_components(
         .filter(F.col("jac") >= threshold)
     )
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    return cc_mod.connected_components(edges, base.select("id"))
+    return cc_mod.connected_components_auto(edges, base.select("id"))
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
@@ -168,4 +168,4 @@ def simhash_dedup_components(df: DataFrame, text_col: str = "text",
         .filter(F.col("ham") <= max_hamming)
     )
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    return cc_mod.connected_components(edges, sh.select("id"))
+    return cc_mod.connected_components_auto(edges, sh.select("id"))

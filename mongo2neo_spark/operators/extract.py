@@ -21,34 +21,48 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .. import rules
-from ..schemas import MENTION_ARRAY, TRIPLE_ARRAY
 
+# Flat parallel primitive arrays, NOT array<struct>: pyarrow converts
+# lists of primitives ~10x faster than lists of Python tuples, and the
+# struct shape is rebuilt JVM-side with arrays_zip (free in codegen).
 EXTRACT_TYPE = T.StructType(
     [
-        T.StructField("mentions", MENTION_ARRAY, False),
-        T.StructField("triples", TRIPLE_ARRAY, False),
+        T.StructField("m_start", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("m_end", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("m_surface", T.ArrayType(T.StringType(), False), False),
+        T.StructField("m_norm", T.ArrayType(T.StringType(), False), False),
+        T.StructField("m_kind", T.ArrayType(T.StringType(), False), False),
+        T.StructField("t_subj", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("t_pred", T.ArrayType(T.StringType(), False), False),
+        T.StructField("t_obj", T.ArrayType(T.IntegerType(), False), False),
     ]
 )
 
 
 @pandas_udf(EXTRACT_TYPE)
 def extract_turn_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    """text -> {mentions: array<struct>, triples: array<struct>}.
+    """text -> flat mention/triple arrays (one row per turn).
 
     Scalar-iterator form amortizes per-batch setup; inside a batch the
     compiled regex in ``rules`` does the work (Arrow moves the data, not
     per-row Python serialization).
     """
     for texts in batches:
-        mentions_col = []
-        triples_col = []
+        cols = {k: [] for k in
+                ("m_start", "m_end", "m_surface", "m_norm", "m_kind",
+                 "t_subj", "t_pred", "t_obj")}
         for text in texts:
             ms = rules.extract_mentions(text or "")
-            mentions_col.append([tuple(m) for m in ms])
-            triples_col.append(
-                [tuple(t) for t in rules.extract_triples(text or "", ms)]
-            )
-        yield pd.DataFrame({"mentions": mentions_col, "triples": triples_col})
+            ts = rules.extract_triples(text or "", ms)
+            cols["m_start"].append([m.span_start for m in ms])
+            cols["m_end"].append([m.span_end for m in ms])
+            cols["m_surface"].append([m.surface for m in ms])
+            cols["m_norm"].append([m.norm for m in ms])
+            cols["m_kind"].append([m.kind for m in ms])
+            cols["t_subj"].append([t.subj_idx for t in ts])
+            cols["t_pred"].append([t.pred for t in ts])
+            cols["t_obj"].append([t.obj_idx for t in ts])
+        yield pd.DataFrame(cols)
 
 
 def extract(turns: DataFrame) -> DataFrame:
@@ -64,15 +78,24 @@ def extract(turns: DataFrame) -> DataFrame:
 
 
 def mentions(extracted: DataFrame) -> DataFrame:
-    """Unnest the mention arrays into the MENTIONS contract (one shuffle-free
-    posexplode; mention_id = xxhash64(conv_id, turn_idx, span_start))."""
-    m = extracted.select(
+    """Unnest the flat mention arrays into the MENTIONS contract (one
+    shuffle-free explode of a JVM-side arrays_zip;
+    mention_id = xxhash64(conv_id, turn_idx, span_start))."""
+    zipped = extracted.select(
         "conv_id",
         "turn_idx",
         "ts",
-        F.posexplode("ex.mentions").alias("pos", "m"),
+        F.explode(
+            F.arrays_zip(
+                F.col("ex.m_start").alias("span_start"),
+                F.col("ex.m_end").alias("span_end"),
+                F.col("ex.m_surface").alias("surface"),
+                F.col("ex.m_norm").alias("norm"),
+                F.col("ex.m_kind").alias("kind"),
+            )
+        ).alias("m"),
     )
-    return m.select(
+    return zipped.select(
         F.xxhash64("conv_id", "turn_idx", F.col("m.span_start")).alias("mention_id"),
         "conv_id",
         "turn_idx",
@@ -86,15 +109,24 @@ def mentions(extracted: DataFrame) -> DataFrame:
 
 
 def raw_triples(extracted: DataFrame) -> DataFrame:
-    """Unnest triple arrays, resolving mention indexes to norms in-place
-    (array indexing — no join needed)."""
+    """Unnest the flat triple arrays, resolving mention indexes to norms
+    in-place (array indexing — no join needed)."""
     t = extracted.select(
-        "conv_id", "turn_idx", "ex.mentions", F.explode("ex.triples").alias("t")
+        "conv_id",
+        "turn_idx",
+        F.col("ex.m_norm").alias("norms"),
+        F.explode(
+            F.arrays_zip(
+                F.col("ex.t_subj").alias("subj_idx"),
+                F.col("ex.t_pred").alias("pred"),
+                F.col("ex.t_obj").alias("obj_idx"),
+            )
+        ).alias("t"),
     )
     return t.select(
         "conv_id",
         "turn_idx",
-        F.element_at("mentions", F.col("t.subj_idx") + 1)["norm"].alias("subj_norm"),
+        F.element_at("norms", F.col("t.subj_idx") + 1).alias("subj_norm"),
         F.col("t.pred").alias("pred"),
-        F.element_at("mentions", F.col("t.obj_idx") + 1)["norm"].alias("obj_norm"),
+        F.element_at("norms", F.col("t.obj_idx") + 1).alias("obj_norm"),
     )

@@ -47,30 +47,34 @@ def pair_score_udf(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Ser
         )
 
 
-def candidate_pairs(
-    mentions: DataFrame,
-    band_cap: int = hashing.BAND_CAP,
-    threshold: float = rules.LINK_THRESHOLD,
-) -> DataFrame:
-    """mentions -> scored candidate (a_norm, b_norm, score) pairs.
-
-    Plan shape: distinct(norm) [vocab-sized shuffle] -> band UDF ->
-    posexplode -> band-size cap (single window shuffle on band_key) ->
-    self equi-join on band_key with a<b -> dropDuplicates(pair) ->
-    exact-score UDF -> threshold filter.  AQE splits any residual hot
-    band at runtime (K2); bands over ``band_cap`` are dropped entirely
-    and surfaced via ``dropped_bands`` (K3 — logged, never silent).
-    """
+def lsh_bands(mentions: DataFrame) -> DataFrame:
+    """(norm, band_key, band_size) over *distinct* norms.  Callers that
+    need both candidate pairs and the drop audit should persist this and
+    pass it to both — one UDF pass instead of two."""
     norms = mentions.select("norm").distinct()
     bands = norms.select(
         "norm", F.explode(band_keys_udf(F.col("norm"))).alias("band_key")
     )
     w = Window.partitionBy("band_key")
-    bands = bands.withColumn("band_size", F.count("*").over(w)).filter(
-        F.col("band_size") <= band_cap
-    )
-    a = bands.select(F.col("norm").alias("a_norm"), "band_key")
-    b = bands.select(F.col("norm").alias("b_norm"), "band_key")
+    return bands.withColumn("band_size", F.count("*").over(w))
+
+
+def candidate_pairs_from_bands(
+    bands: DataFrame,
+    band_cap: int = hashing.BAND_CAP,
+    threshold: float = rules.LINK_THRESHOLD,
+) -> DataFrame:
+    """lsh_bands output -> scored candidate (a_norm, b_norm, score) pairs.
+
+    Plan shape: band-size cap filter -> self equi-join on band_key with
+    a<b -> dropDuplicates(pair) -> exact-score UDF -> threshold filter.
+    AQE splits any residual hot band at runtime (K2); bands over
+    ``band_cap`` are dropped entirely and surfaced via ``dropped_bands``
+    (K3 — logged, never silent).
+    """
+    capped = bands.filter(F.col("band_size") <= band_cap)
+    a = capped.select(F.col("norm").alias("a_norm"), "band_key")
+    b = capped.select(F.col("norm").alias("b_norm"), "band_key")
     pairs = (
         a.join(b, "band_key")
         .filter(F.col("a_norm") < F.col("b_norm"))
@@ -83,14 +87,24 @@ def candidate_pairs(
     return scored.filter(F.col("score") >= threshold)
 
 
-def dropped_bands(mentions: DataFrame, band_cap: int = hashing.BAND_CAP) -> DataFrame:
-    """K3 audit: band keys whose size exceeded the cap (for lineage/metrics)."""
-    norms = mentions.select("norm").distinct()
-    bands = norms.select(
-        "norm", F.explode(band_keys_udf(F.col("norm"))).alias("band_key")
-    )
+def candidate_pairs(
+    mentions: DataFrame,
+    band_cap: int = hashing.BAND_CAP,
+    threshold: float = rules.LINK_THRESHOLD,
+) -> DataFrame:
+    """mentions -> scored candidate pairs (convenience single-call form)."""
+    return candidate_pairs_from_bands(lsh_bands(mentions), band_cap, threshold)
+
+
+def dropped_from_bands(bands: DataFrame,
+                       band_cap: int = hashing.BAND_CAP) -> DataFrame:
+    """K3 audit: band keys whose size exceeded the cap (lineage/metrics)."""
     return (
-        bands.groupBy("band_key")
-        .agg(F.count("*").alias("band_size"))
+        bands.select("band_key", "band_size")
+        .dropDuplicates(["band_key"])
         .filter(F.col("band_size") > band_cap)
     )
+
+
+def dropped_bands(mentions: DataFrame, band_cap: int = hashing.BAND_CAP) -> DataFrame:
+    return dropped_from_bands(lsh_bands(mentions), band_cap)

@@ -17,19 +17,23 @@ MAX_PROVENANCE = 20
 
 def norm_components(mentions: DataFrame,
                     band_cap: int | None = None,
-                    threshold: float | None = None) -> DataFrame:
+                    threshold: float | None = None,
+                    pairs: DataFrame | None = None) -> DataFrame:
     """Full linking + canonicalization: mentions -> (norm, entity_id:long).
 
     Vertices are the distinct norms (ids = xxhash64(norm)); edges are the
     scored LSH candidate pairs above threshold; components come from the
     iterative min-label CC.  Singleton norms keep their own id.
+    Pass ``pairs`` to reuse precomputed candidate pairs (e.g. when the
+    caller also needs the dropped-bands audit from the same LSH pass).
     """
-    kwargs = {}
-    if band_cap is not None:
-        kwargs["band_cap"] = band_cap
-    if threshold is not None:
-        kwargs["threshold"] = threshold
-    pairs = link_mod.candidate_pairs(mentions, **kwargs)
+    if pairs is None:
+        kwargs = {}
+        if band_cap is not None:
+            kwargs["band_cap"] = band_cap
+        if threshold is not None:
+            kwargs["threshold"] = threshold
+        pairs = link_mod.candidate_pairs(mentions, **kwargs)
     norms = mentions.select("norm").distinct().withColumn(
         "id", F.xxhash64("norm")
     )
@@ -38,7 +42,7 @@ def norm_components(mentions: DataFrame,
             F.xxhash64("a_norm").alias("src"), F.xxhash64("b_norm").alias("dst")
         )
     )
-    comp = cc_mod.connected_components(edges, norms.select("id"))
+    comp = cc_mod.connected_components_auto(edges, norms.select("id"))
     return norms.join(comp, "id").select("norm", F.col("component").alias("entity_id"))
 
 

@@ -59,8 +59,7 @@ def run_pipeline(
 ) -> Dict[str, str]:
     cfg = cfg or PipelineConfig()
     paths = {
-        "mentions": f"{out_dir}/mentions",
-        "raw_triples": f"{out_dir}/raw_triples",
+        "extracted": f"{out_dir}/extracted",
         "components": f"{out_dir}/components",
         "nodes": f"{out_dir}/nodes",
         "edges": f"{out_dir}/edges",
@@ -92,25 +91,28 @@ def _stage_extract(spark, input_source, paths, cfg, resume) -> None:
         )
         if len(todo) < cfg.n_buckets:
             turns = turns.filter(F.col("bucket").isin([int(b) for b in todo]))
-        turns = skew_mod.salted_repartition(turns, salt=cfg.salt)
-        ex = extract_mod.extract(turns)
-        # bucket is a pure function of conv_id — recompute after the UDF
-        # instead of carrying (or joining) it through the extraction
-        ments = extract_mod.mentions(ex).withColumn(
-            "bucket", skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets)
-        )
-        raw = extract_mod.raw_triples(ex).withColumn(
+        # K1 salted repartition, keyed by (bucket, turn-salt): spreads a
+        # hot conversation across `salt` partitions for the UDF stage while
+        # keeping output files clustered by the bucket write-partition
+        # (avoids tasks×buckets small-file blowup at scale)
+        salt_col = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(cfg.salt))
+        turns = turns.repartition(F.col("bucket"), salt_col)
+        # ONE write of the combined extraction table (flat mention/triple
+        # arrays, one row per turn); mentions/raw_triples are derived
+        # columnar at read time by later stages.  One UDF pass + one
+        # full-data write — cheaper than materializing (or caching) two
+        # denormalized tables, at sandbox and at 100 TB alike.
+        ex = extract_mod.extract(turns).withColumn(
             "bucket", skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets)
         )
         # dynamic partition overwrite = idempotent per-bucket replace (S2)
-        m2nio.write_table(ments, paths["mentions"], partition_by=["bucket"])
-        m2nio.write_table(raw, paths["raw_triples"], partition_by=["bucket"])
+        m2nio.write_table(ex, paths["extracted"], partition_by=["bucket"])
 
-    # lineage: per-bucket metrics from the written outputs (reads back the
+    # lineage: per-bucket metrics from the written output (reads back the
     # bucket-pruned parquet — cheap, and records what actually landed)
-    written = spark.read.parquet(paths["mentions"]).filter(
+    written = spark.read.parquet(paths["extracted"]).filter(
         F.col("bucket").isin([int(b) for b in todo])
-    )
+    ).select("conv_id", "turn_idx", "bucket")
     metrics = {r.partition_key: r for r in lin.stage_metrics(written, "bucket").collect()}
     entries = []
     for b in todo:
@@ -130,12 +132,16 @@ def _stage_components(spark, paths, cfg, resume) -> None:
     if resume and lin.completed_keys(spark, out_root, stage):
         return
     with lin.StageTimer() as t:
-        ments = spark.read.parquet(paths["mentions"])
-        comp = mat_mod.norm_components(
-            ments, band_cap=cfg.band_cap, threshold=cfg.threshold
+        ments = extract_mod.mentions(spark.read.parquet(paths["extracted"]))
+        # one LSH pass feeds both candidate generation and the drop audit
+        bands = link_mod.lsh_bands(ments).persist()
+        pairs = link_mod.candidate_pairs_from_bands(
+            bands, cfg.band_cap, cfg.threshold
         )
+        comp = mat_mod.norm_components(ments, pairs=pairs)
         m2nio.write_table(comp, paths["components"])
-        dropped = link_mod.dropped_bands(ments, cfg.band_cap).count()
+        dropped = link_mod.dropped_from_bands(bands, cfg.band_cap).count()
+        bands.unpersist()
     written = spark.read.parquet(paths["components"])
     row = written.agg(
         F.count("*").alias("n"), lin.checksum_col(written).alias("c")
@@ -156,8 +162,9 @@ def _stage_materialize(spark, paths, cfg, resume) -> None:
     if resume and lin.completed_keys(spark, out_root, stage):
         return
     with lin.StageTimer() as t:
-        ments = spark.read.parquet(paths["mentions"])
-        raw = spark.read.parquet(paths["raw_triples"])
+        extracted = spark.read.parquet(paths["extracted"])
+        ments = extract_mod.mentions(extracted)
+        raw = extract_mod.raw_triples(extracted)
         comp = spark.read.parquet(paths["components"])
         canon = mat_mod.canonical_names(ments, comp)
         resolved = mat_mod.resolve_triples(raw, comp, canon)
