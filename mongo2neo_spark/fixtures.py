@@ -80,6 +80,10 @@ def make_entity_pool(n_entities: int, seed: int = 42) -> List[Entity]:
     k = 0
     while len(pool) < n_entities:
         kind = KINDS[len(pool) % len(KINDS)]
+        if kind == "place" and all(
+            rules.normalize(p) in seen for p in _PLACE_SURFACES
+        ):
+            kind = "artifact"  # only 10 place surfaces exist; don't livelock
         if kind == "person":
             canonical = f"{_name_token(rng, 2)} {_name_token(rng, 2)}"
         elif kind == "org":
@@ -183,6 +187,69 @@ def turns_to_pandas(rows: List[Turn]):
             "ts": [r.ts for r in rows],
         }
     )
+
+
+def generate_transcripts_distributed(
+    spark,
+    n_convs: int,
+    seed: int = 42,
+    n_entities: int = 200,
+    alias_rate: float = 0.15,
+    distractor_rate: float = 0.30,
+    max_turns: int = 2000,
+    partitions: int = 64,
+):
+    """Cluster-scale fixture generation: one deterministic RNG stream per
+    conversation (seeded by (seed, conv_idx)), generated in parallel via
+    mapInPandas.  Same statistical shape as ``generate_transcripts`` (Zipf
+    sizes, alias variants, hot conversations) but embarrassingly parallel —
+    this is how the 10^12-turn input would be synthesized on a real
+    cluster.  Returns a DataFrame with the contract schema.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pool = make_entity_pool(n_entities, seed)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+            for ci in pdf["id"]:
+                ci = int(ci)
+                rng = random.Random((seed << 32) ^ ci)
+                size = _zipf_sizes(rng, 1, hi=max_turns)[0]
+                conv_id = f"conv-{ci:08d}"
+                ts = dt.datetime(2026, 1, 1) + dt.timedelta(seconds=ci * 7919)
+                for ti in range(size):
+                    ts = ts + dt.timedelta(seconds=rng.randrange(10, 300))
+                    if rng.random() < 0.2:
+                        role, tool = "tool", rng.choice(_TOOLS)
+                    else:
+                        role, tool = ("user", None) if ti % 2 == 0 else ("assistant", None)
+                    if rng.random() < distractor_rate:
+                        text = rng.choice(_FILLERS)
+                    else:
+                        subj, obj = rng.choice(pool), rng.choice(pool)
+                        pred = rng.choice(rules.PREDICATES)
+                        text = (f"{_pick_surface(rng, subj, alias_rate)} {pred} "
+                                f"{_pick_surface(rng, obj, alias_rate)} .")
+                        if rng.random() < 0.25:
+                            text = rng.choice(_FILLERS) + " " + text
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(ti)
+                    out["role"].append(role)
+                    out["text"].append(text)
+                    out["tool"].append(tool)
+                    out["ts"].append(ts)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["turn_idx"] = pdf_out["turn_idx"].astype("int32")
+            yield pdf_out
+
+    ids = spark.range(0, n_convs).repartition(partitions)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    return ids.mapInPandas(gen, schema)
 
 
 def with_duplicates_and_shuffle(rows: List[Turn], seed: int = 7,

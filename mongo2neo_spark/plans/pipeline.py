@@ -94,9 +94,14 @@ def _stage_extract(spark, input_source, paths, cfg, resume) -> None:
         # K1 salted repartition, keyed by (bucket, turn-salt): spreads a
         # hot conversation across `salt` partitions for the UDF stage while
         # keeping output files clustered by the bucket write-partition
-        # (avoids tasks×buckets small-file blowup at scale)
+        # (avoids tasks×buckets small-file blowup at scale).
+        # EXPLICIT partition count: AQE sizes coalescing by shuffle BYTES,
+        # but the downstream pandas-UDF work per byte is huge — letting AQE
+        # coalesce here collapses the extraction stage to a handful of
+        # tasks and kills scaling.  User-specified counts are not coalesced.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         salt_col = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(cfg.salt))
-        turns = turns.repartition(F.col("bucket"), salt_col)
+        turns = turns.repartition(n_part, F.col("bucket"), salt_col)
         # ONE write of the combined extraction table (flat mention/triple
         # arrays, one row per turn); mentions/raw_triples are derived
         # columnar at read time by later stages.  One UDF pass + one

@@ -29,7 +29,21 @@ DEFAULT_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # progress bars corrupt harness stdout parsing
     "spark.ui.showConsoleProgress": "false",
+    # v2 commit: task-side (parallel) renames instead of a sequential
+    # driver-side move loop — the v1 commit is pure non-scaling overhead
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
+
+
+def _core_count(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner != "*":
+            try:
+                return int(inner)
+            except ValueError:
+                pass
+    return os.cpu_count() or 8
 
 
 def get_spark(
@@ -41,11 +55,24 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
+    # local mode runs driver+executors in ONE JVM: the 1g default heap
+    # causes GCLocker thrash with 32 task threads.  Size like a real
+    # executor (these only apply at JVM launch; no-ops on getOrCreate
+    # reuse).
+    confs.setdefault("spark.driver.memory", os.environ.get("M2N_DRIVER_MEM", "24g"))
+    confs.setdefault("spark.driver.maxResultSize", "4g")
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     else:
         # >= 4x cores so AQE has room to coalesce (SURVEY.md §4)
         confs.setdefault("spark.sql.shuffle.partitions", "128")
+    # file scans: 128MB maxPartitionBytes is right at warehouse scale, but
+    # it packs a small (sandbox-scale) table into 1-4 scan tasks and
+    # serializes every map stage downstream of a read.  minPartitionNum
+    # keeps scans at least as wide as the machine without changing
+    # large-table behavior.
+    n_cores = _core_count(master)
+    confs.setdefault("spark.sql.files.minPartitionNum", str(2 * n_cores))
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

@@ -1,0 +1,111 @@
+"""Structured Streaming extension (SURVEY.md §2.12 — optional by
+contract; the binding pipeline is batch).
+
+Incremental ingestion of transcript turns:
+
+    readStream (file/iceberg source)
+      -> watermark + dropDuplicatesWithinWatermark (late/dup turns)
+      -> the SAME extraction UDF as the batch path (stateless per turn)
+      -> append-mode sink of extraction results
+
+Entity linking is inherently global state, so canonicalization stays a
+periodic batch job over the accumulated extraction output — matching
+the contract's "resumable batch" shape rather than forcing
+applyInPandasWithState.  ``foreach_batch_pipeline`` wires the batch
+linker into a streaming ``foreachBatch`` for a self-contained demo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import extract as extract_mod
+from ..operators import ingest as ingest_mod
+from ..schemas import TRANSCRIPTS
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-based streaming source over the contract schema (swap for
+    format('iceberg')/Kafka on a real deployment)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def streaming_extract(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateless per-turn extraction with late/duplicate-turn handling.
+
+    Watermark + dropDuplicatesWithinWatermark keeps state bounded: a
+    duplicate (conv_id, turn_idx) arriving within the watermark is
+    dropped; later than that, the batch dedup (P3) at canonicalization
+    time still guarantees set semantics downstream.
+    """
+    clean = (
+        stream.filter(
+            F.col("conv_id").isNotNull()
+            & F.col("turn_idx").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    return extract_mod.extract(clean)
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Run the extraction stream to parquet (exactly-once via the
+    streaming checkpoint).  ``trigger_once`` processes available input
+    and stops — the streaming analogue of a resumable batch increment."""
+    stream = read_transcript_stream(spark, source_dir)
+    ex = streaming_extract(stream)
+    writer = (
+        ex.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_pipeline(spark, source_dir: str, out_dir: str,
+                           checkpoint_dir: str):
+    """Demo wiring: stream micro-batches through the batch materializer.
+
+    Each micro-batch appends extraction output; callers re-run the batch
+    canonicalize/materialize stages (plans.pipeline) periodically over
+    the accumulated table — global linking cannot be incrementalized
+    without approximation, and the contract's lineage/resume makes the
+    periodic batch cheap.
+    """
+    stream = read_transcript_stream(spark, source_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        turns = ingest_mod.ingest(batch_df)
+        ex = extract_mod.extract(turns)
+        ex.write.mode("append").parquet(f"{out_dir}/extracted")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
