@@ -254,7 +254,7 @@ def events_json_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events,
        ROUND(AVG(value), 6) AS avg_value
 FROM events GROUP BY event_type
@@ -283,7 +283,8 @@ WITH g AS (
                    OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM g GROUP BY user_id
 """
 
