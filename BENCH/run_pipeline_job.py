@@ -1,0 +1,64 @@
+"""spark-submit job script: run the transcript->KG pipeline and print a
+RESULT json line.  Master/executors come from spark-submit; the package
+ships via --py-files (BASELINE.json north_star launch mode).
+
+    spark-submit --master local-cluster[N,4,3072] \
+        --py-files m2n.zip BENCH/run_pipeline_job.py \
+        --input <parquet> --out <dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--salt", type=int, default=8)
+    args = ap.parse_args()
+
+    from mongo2neo_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from mongo2neo_spark.session import DEFAULT_CONFS
+
+    builder = SparkSession.builder.appName("m2n-pipeline-job")
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_turns = spark.read.parquet(args.input).count()
+    # warm UDF workers so the measurement is steady-state at both sizes
+    from mongo2neo_spark.operators import extract as _ex
+
+    _ex.mentions(_ex.extract(spark.read.parquet(args.input).limit(512))).count()
+
+    cfg = PipelineConfig(n_buckets=args.buckets, salt=args.salt, run_id="job")
+    t0 = time.monotonic()
+    paths = run_pipeline(spark, args.input, args.out, cfg, resume=False)
+    wall = time.monotonic() - t0
+    n_triples = spark.read.parquet(paths["triples"]).count()
+    execs = spark.sparkContext.getConf().get("spark.master", "?")
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "master": execs,
+                "wall_sec": round(wall, 2),
+                "turns": n_turns,
+                "turns_per_sec": round(n_turns / wall, 1),
+                "triples": n_triples,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,18 @@
 """Two-cluster-size scaling evidence (BASELINE.json north_rule).
 
-A real N-vs-4N-executor cluster is unavailable in this sandbox, so —
-per the driver instruction — the SAME pipeline job runs on the SAME
-input at two parallelism levels (local[8] and local[32] on a 32-core
-box) in separate processes, and this script reports throughput at both
-plus the scaling efficiency ( (thr_4N / thr_N) / 4 ) into
-BENCH/BASELINE.md.
+A real multi-host cluster is unavailable in this sandbox, so — per the
+driver instruction — the SAME spark-submit --py-files job runs on the
+SAME input at two cluster sizes built from separate executor JVMs:
 
-Usage: python BENCH/scaling.py [n_convs] (default sized for ~4M turns)
+    N  = local-cluster[2, 4, 3072]   (2 executors x 4 cores =  8 cores)
+    4N = local-cluster[8, 4, 3072]   (8 executors x 4 cores = 32 cores)
+
+``taskset`` pins each run's whole process tree (executor JVMs AND their
+Python UDF workers) to exactly that many physical cores, so the small
+cluster cannot borrow idle silicon.  Results (throughput at both sizes +
+scaling efficiency) land in BENCH/BASELINE.md.
+
+Usage: python BENCH/scaling.py [n_convs]   (default ~27M turns)
 """
 
 from __future__ import annotations
@@ -15,9 +20,11 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
+import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -25,35 +32,32 @@ os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000  # ~27M turns
 INPUT = f"/tmp/m2n_scaling_cache/transcripts_{N_CONVS}"
+EXEC_CORES = 4
+EXEC_MEM_MB = 3072
+SIZES = {"N": 2, "4N": 8}  # executors
 
-RUN_SNIPPET = r"""
-import json, os, sys, tempfile, time
-sys.path.insert(0, {repo!r})
-os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
-from mongo2neo_spark.session import get_spark
-from mongo2neo_spark.plans.pipeline import PipelineConfig, run_pipeline
-from mongo2neo_spark.operators import extract as _ex, materialize as _mt
 
-cores = int(sys.argv[1])
-# SAME job both sizes: identical shuffle width; only the master differs
-spark = get_spark(app_name=f"m2n-scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=128)
-spark.sparkContext.setLogLevel("ERROR")
-n_turns = spark.read.parquet({input!r}).count()
-# warm UDF workers (same warmup at both sizes)
-wm = _ex.mentions(_ex.extract(spark.read.parquet({input!r}).limit(512))).persist()
-_mt.canonical_names(wm, _mt.norm_components(wm)).count(); wm.unpersist()
-out = tempfile.mkdtemp(prefix=f"m2n_scale_{{cores}}_")
-cfg = PipelineConfig(n_buckets=32, salt=8, run_id=f"scale{{cores}}")
-t0 = time.monotonic()
-paths = run_pipeline(spark, {input!r}, f"{{out}}/kg", cfg, resume=False)
-wall = time.monotonic() - t0
-n_triples = spark.read.parquet(paths["triples"]).count()
-print("RESULT " + json.dumps({{"cores": cores, "wall_sec": round(wall, 2),
-      "turns": n_turns, "turns_per_sec": round(n_turns / wall, 1),
-      "triples": n_triples}}))
-spark.stop()
-"""
+def spark_submit_bin() -> str:
+    import pyspark
+
+    cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if os.path.exists(cand):
+        return cand
+    return shutil.which("spark-submit") or "spark-submit"
+
+
+def build_pyfiles_zip() -> str:
+    zpath = "/tmp/m2n_pyfiles.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "mongo2neo_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
 
 
 def ensure_input() -> None:
@@ -70,36 +74,46 @@ def ensure_input() -> None:
     spark.stop()
 
 
-def run_at(cores: int) -> dict:
-    script = RUN_SNIPPET.format(repo=REPO, input=INPUT)
-    # taskset pins the WHOLE process tree (JVM task threads AND Python
-    # UDF workers) to `cores` cpus — without it, local[8]'s Python
-    # workers spill onto the other 24 cores and the "small cluster"
-    # isn't small.
-    proc = subprocess.run(
-        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
-         str(cores)],
-        capture_output=True, text=True, timeout=3600,
-    )
+def run_at(n_execs: int, zpath: str) -> dict:
+    cores = n_execs * EXEC_CORES
+    out = tempfile.mkdtemp(prefix=f"m2n_scale_{n_execs}x_")
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        spark_submit_bin(),
+        "--master", f"local-cluster[{n_execs},{EXEC_CORES},{EXEC_MEM_MB}]",
+        "--driver-memory", "4g",
+        # SAME job at both sizes: identical shuffle width etc.
+        "--conf", "spark.sql.shuffle.partitions=128",
+        "--py-files", zpath,
+        os.path.join(REPO, "BENCH", "run_pipeline_job.py"),
+        "--input", INPUT, "--out", f"{out}/kg",
+    ]
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            r["executors"] = n_execs
+            r["cores"] = cores
+            return r
     raise RuntimeError(
-        f"run at {cores} cores produced no RESULT:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        f"{n_execs}-executor run produced no RESULT:\n"
+        f"{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
     )
 
 
 def main() -> None:
     ensure_input()
-    r8 = run_at(8)
-    print("local[8]:", r8)
-    r32 = run_at(32)
-    print("local[32]:", r32)
-    eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
+    zpath = build_pyfiles_zip()
+    r_n = run_at(SIZES["N"], zpath)
+    print("N  :", r_n)
+    r_4n = run_at(SIZES["4N"], zpath)
+    print("4N :", r_4n)
+    eff = (r_4n["turns_per_sec"] / r_n["turns_per_sec"]) / 4.0
     report = {
-        "input_turns": r8["turns"],
-        "local8": r8,
-        "local32": r32,
+        "input_turns": r_n["turns"],
+        "N": r_n,
+        "4N": r_4n,
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(report))
@@ -110,34 +124,35 @@ def _write_baseline(report: dict) -> None:
     md = f"""# BENCH/BASELINE.md — measured baselines (this engine, this sandbox)
 
 Measured {dt.date.today().isoformat()} on the sandbox host (32 cores,
-125 GB RAM, local filesystem, Spark {os.environ.get('SPARK_VERSION', '4.1.2')},
-single JVM).  The reference checkout is empty (SURVEY.md §0), so these are
-the binding numbers future rounds must match or beat.
+125 GB RAM, local filesystem, Spark 4.1.2).  The reference checkout is
+empty (SURVEY.md §0), so these are the binding numbers future rounds
+must match or beat.
 
-## End-to-end KG pipeline (transcripts -> nodes/edges/triples)
+## End-to-end KG pipeline — N vs 4N executors
 
-Same job, same input ({report['input_turns']:,} synthetic turns,
-Zipf-hot conversations, seed 42), two parallelism levels, separate
-processes — the sandbox stand-in for N vs 4N executors per the driver
-instruction:
+Same `spark-submit --py-files` job (BENCH/run_pipeline_job.py), same
+input ({report['input_turns']:,} synthetic transcript turns, Zipf-hot
+conversations, seed 42), two cluster sizes built from separate executor
+JVMs, each run taskset-pinned to exactly its core budget:
 
-| parallelism | wall (s) | throughput (turns/s) |
-|---|---|---|
-| local[8]  (N)  | {report['local8']['wall_sec']} | {report['local8']['turns_per_sec']:,} |
-| local[32] (4N) | {report['local32']['wall_sec']} | {report['local32']['turns_per_sec']:,} |
+| cluster | executors x cores | wall (s) | throughput (turns/s) |
+|---|---|---|---|
+| N  | {report['N']['executors']} x {EXEC_CORES} = {report['N']['cores']} | {report['N']['wall_sec']} | {report['N']['turns_per_sec']:,} |
+| 4N | {report['4N']['executors']} x {EXEC_CORES} = {report['4N']['cores']} | {report['4N']['wall_sec']} | {report['4N']['turns_per_sec']:,} |
 
 **Scaling efficiency (thr_4N / thr_N) / 4 = {report['scaling_efficiency']}**
-(contract target >= 0.8).
+(contract target >= 0.8; single-host caveat: all executors share one
+machine's memory bandwidth, page cache, and disk — a physical-host 4N
+cluster does not).
 
-Triples emitted: {report['local32']['triples']:,} (identical at both sizes —
-partitioning-independence is asserted by tests/test_pipeline.py).
+Triples emitted: {report['4N']['triples']:,} — identical at both sizes
+(partitioning-independence; also asserted by tests/test_pipeline.py).
 
 ## Per-round headline suite
 
-`bench.py` (sf0.1 relational tables + {report['input_turns'] // 20:,}-ish-turn
-KG run at local[32]) — the driver records its JSON as BENCH_r{{N}}.json;
-compare `value` (total wall sec, lower is better) and `kg_turns_per_sec`
-(higher is better) across rounds.
+`bench.py` at sf0.1 on local[32] — the driver records its JSON as
+BENCH_r{{N}}.json; compare `value` (total wall sec, lower is better) and
+`kg_turns_per_sec` (higher is better) across rounds.
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out, "w") as f:
