@@ -33,7 +33,7 @@ os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000  # ~27M turns
 INPUT = f"/tmp/m2n_scaling_cache/transcripts_{N_CONVS}"
 EXEC_CORES = 4
-EXEC_MEM_MB = 3072
+EXEC_MEM_MB = 6144
 SIZES = {"N": 2, "4N": 8}  # executors
 
 

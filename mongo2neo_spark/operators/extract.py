@@ -46,22 +46,59 @@ def extract_turn_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     Scalar-iterator form amortizes per-batch setup; inside a batch the
     compiled regex in ``rules`` does the work (Arrow moves the data, not
     per-row Python serialization).
+
+    Surface forms and predicate gaps are vocabulary-bounded, so their
+    normalize/kind lookups are memoized across the worker's lifetime —
+    pure-function caching, bit-identical to calling ``rules`` directly
+    (which the oracle-parity tests assert end-to-end).
     """
+    finditer = rules.MENTION_RE.finditer
+    normalize = rules.normalize
+    infer_kind = rules.infer_kind
+    predicates = rules.PREDICATE_SET
+    surf_cache: dict = {}
+    gap_cache: dict = {}
+
     for texts in batches:
         cols = {k: [] for k in
                 ("m_start", "m_end", "m_surface", "m_norm", "m_kind",
                  "t_subj", "t_pred", "t_obj")}
         for text in texts:
-            ms = rules.extract_mentions(text or "")
-            ts = rules.extract_triples(text or "", ms)
-            cols["m_start"].append([m.span_start for m in ms])
-            cols["m_end"].append([m.span_end for m in ms])
-            cols["m_surface"].append([m.surface for m in ms])
-            cols["m_norm"].append([m.norm for m in ms])
-            cols["m_kind"].append([m.kind for m in ms])
-            cols["t_subj"].append([t.subj_idx for t in ts])
-            cols["t_pred"].append([t.pred for t in ts])
-            cols["t_obj"].append([t.obj_idx for t in ts])
+            text = text or ""
+            starts, ends, surfs, norms, kinds = [], [], [], [], []
+            for m in finditer(text):
+                surface = m.group(0)
+                cached = surf_cache.get(surface)
+                if cached is None:
+                    norm = normalize(surface)
+                    cached = (norm, infer_kind(norm))
+                    if len(surf_cache) < 2_000_000:
+                        surf_cache[surface] = cached
+                starts.append(m.start())
+                ends.append(m.end())
+                surfs.append(surface)
+                norms.append(cached[0])
+                kinds.append(cached[1])
+            t_subj, t_pred, t_obj = [], [], []
+            for i in range(len(starts) - 1):
+                gap_raw = text[ends[i] : starts[i + 1]]
+                pred = gap_cache.get(gap_raw)
+                if pred is None:
+                    pred = normalize(gap_raw.strip(" .,;:!?"))
+                    if len(gap_cache) < 2_000_000:
+                        gap_cache[gap_raw] = pred
+                if pred in predicates:
+                    t_subj.append(i)
+                    t_pred.append(pred)
+                    t_obj.append(i + 1)
+            cols["m_start"].append(starts)
+            cols["m_end"].append(ends)
+            cols["m_surface"].append(surfs)
+            cols["m_norm"].append(norms)
+            cols["m_kind"].append(kinds)
+            cols["t_subj"].append(t_subj)
+            cols["t_pred"].append(t_pred)
+            cols["t_obj"].append(t_obj)
         yield pd.DataFrame(cols)
 
 

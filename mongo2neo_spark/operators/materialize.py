@@ -59,19 +59,23 @@ def canonical_names(mentions: DataFrame, components: DataFrame) -> DataFrame:
     )
 
 
-def _norm_to_entity(components: DataFrame, canon: DataFrame) -> DataFrame:
+def norm_to_entity(components: DataFrame, canon: DataFrame) -> DataFrame:
     """norm -> canonical entity name (vocabulary-sized, broadcast-friendly)."""
     return components.join(canon, "entity_id").select("norm", "entity")
 
 
-def resolve_triples(raw_triples: DataFrame, components: DataFrame,
-                    canon: DataFrame) -> DataFrame:
+def resolve_triples(raw_triples: DataFrame, components: DataFrame = None,
+                    canon: DataFrame = None,
+                    n2e: DataFrame = None) -> DataFrame:
     """J2: rewrite raw (subj_norm, pred, obj_norm) to canonical entities.
 
     The norm->entity map is vocabulary-sized — broadcast both joins so
-    the (huge) triple stream never shuffles here.
+    the (huge) triple stream never shuffles here.  Pass a precomputed
+    (ideally persisted) ``n2e`` to avoid rebuilding the map.
     """
-    n2e = F.broadcast(_norm_to_entity(components, canon))
+    if n2e is None:
+        n2e = norm_to_entity(components, canon)
+    n2e = F.broadcast(n2e)
     return (
         raw_triples.join(
             n2e.withColumnsRenamed({"norm": "subj_norm", "entity": "subj"}),
@@ -104,22 +108,28 @@ def triples(resolved: DataFrame) -> DataFrame:
     )
 
 
-def nodes(mentions: DataFrame, components: DataFrame, canon: DataFrame) -> DataFrame:
-    """A2 + W3: node table with mention stats and majority kind."""
-    n2e = F.broadcast(_norm_to_entity(components, canon))
-    m = mentions.join(n2e, "norm")
-    stats = m.groupBy("entity").agg(
-        F.count("*").alias("n_mentions"),
+def nodes(mentions: DataFrame, components: DataFrame = None,
+          canon: DataFrame = None, n2e: DataFrame = None) -> DataFrame:
+    """A2 + W3: node table with mention stats and majority kind.
+
+    One scan: a single (entity, kind) aggregation yields the kind
+    histogram; entity-level stats + majority-kind election then run on
+    that (tiny) aggregate, not on the mention stream again.
+    """
+    if n2e is None:
+        n2e = norm_to_entity(components, canon)
+    m = mentions.join(F.broadcast(n2e), "norm")
+    by_kind = m.groupBy("entity", "kind").agg(
+        F.count("*").alias("kcnt"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
-    kind_counts = m.groupBy("entity", "kind").agg(F.count("*").alias("kcnt"))
     w = Window.partitionBy("entity").orderBy(F.desc("kcnt"), F.asc("kind"))
-    kinds = (
-        kind_counts.withColumn("_rn", F.row_number().over(w))
+    return (
+        by_kind.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_mentions", F.sum("kcnt").over(Window.partitionBy("entity")))
+        .withColumn("first_ts", F.min("first_ts").over(Window.partitionBy("entity")))
+        .withColumn("last_ts", F.max("last_ts").over(Window.partitionBy("entity")))
         .filter(F.col("_rn") == 1)
-        .select("entity", "kind")
-    )
-    return stats.join(kinds, "entity").select(
-        "entity", "kind", "n_mentions", "first_ts", "last_ts"
+        .select("entity", "kind", "n_mentions", "first_ts", "last_ts")
     )

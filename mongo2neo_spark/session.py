@@ -32,6 +32,11 @@ DEFAULT_CONFS = {
     # v2 commit: task-side (parallel) renames instead of a sequential
     # driver-side move loop — the v1 commit is pure non-scaling overhead
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # storage is the one resource that does NOT scale with executors on a
+    # shared disk: compress persisted blocks (DISK_ONLY caches) and use
+    # zstd for parquet — both trade cheap CPU for scarce IO bandwidth
+    "spark.rdd.compress": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
