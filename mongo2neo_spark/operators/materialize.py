@@ -90,15 +90,28 @@ def resolve_triples(raw_triples: DataFrame, components: DataFrame = None,
 
 
 def edges(resolved: DataFrame, max_provenance: int = MAX_PROVENANCE) -> DataFrame:
-    """A1: weighted edges with bounded, deterministically-ordered provenance."""
-    return resolved.groupBy("subj", "pred", "obj").agg(
-        F.count("*").alias("weight"),
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("conv_id", "turn_idx"))),
-            1,
-            max_provenance,
-        ).alias("provenance"),
+    """A1: weighted edges with bounded, deterministically-ordered provenance.
+
+    Provenance is capped BEFORE aggregation (row_number window), so a hot
+    triple never materializes an unbounded collect_list on one task —
+    collect-then-slice is a memory bomb at 10^12-turn scale.  The weight
+    count is a separate partial-aggregated (map-side combined) pass, which
+    hot keys don't hurt.
+    """
+    keys = ["subj", "pred", "obj"]
+    weights = resolved.groupBy(*keys).agg(F.count("*").alias("weight"))
+    w = Window.partitionBy(*keys).orderBy("conv_id", "turn_idx")
+    prov = (
+        resolved.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_provenance)
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("conv_id", "turn_idx"))).alias(
+                "provenance"
+            )
+        )
     )
+    return weights.join(prov, keys)
 
 
 def triples(resolved: DataFrame) -> DataFrame:

@@ -42,7 +42,6 @@ class PipelineConfig:
     band_cap: int = hashing.BAND_CAP
     threshold: float = rules.LINK_THRESHOLD
     max_provenance: int = mat_mod.MAX_PROVENANCE
-    shuffle_partitions: Optional[int] = None
     run_id: str = ""
 
     def __post_init__(self):
