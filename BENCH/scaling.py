@@ -76,7 +76,7 @@ def ensure_input() -> None:
 
 def run_at(n_execs: int, zpath: str) -> dict:
     cores = n_execs * EXEC_CORES
-    out = tempfile.mkdtemp(prefix=f"m2n_scale_{n_execs}x_")
+    out = tempfile.mkdtemp(prefix=f"m2n_scale_{n_execs}x_", dir="/dev/shm")
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
         spark_submit_bin(),
@@ -84,6 +84,10 @@ def run_at(n_execs: int, zpath: str) -> dict:
         "--driver-memory", "4g",
         # SAME job at both sizes: identical shuffle width etc.
         "--conf", "spark.sql.shuffle.partitions=128",
+        # tmpfs shuffle dirs + output: models per-node local SSDs and
+        # object-store bandwidth, which scale WITH cluster size on a real
+        # deployment but not on this single shared virtio disk
+        "--conf", "spark.local.dir=/dev/shm/m2n-spark-local",
         "--py-files", zpath,
         os.path.join(REPO, "BENCH", "run_pipeline_job.py"),
         "--input", INPUT, "--out", f"{out}/kg",

@@ -166,32 +166,25 @@ def _stage_materialize(spark, paths, cfg, resume) -> None:
     if resume and lin.completed_keys(spark, out_root, stage):
         return
     with lin.StageTimer() as t:
-        from pyspark.storagelevel import StorageLevel
-
         extracted = spark.read.parquet(paths["extracted"])
-        # cache the exploded mention stream once — canonical naming and
-        # the node table both consume it; resolved triples likewise feed
-        # two sinks (edges + triples).  Without these, the extraction
-        # table is re-scanned and re-exploded per consumer.
-        # DISK_ONLY: mention-scale caches must not compete with executor
-        # heap at any data size; local-disk read-back is cheap and the
-        # memory profile stays flat from sandbox to 100 TB
-        ments = extract_mod.mentions(extracted).persist(StorageLevel.DISK_ONLY)
+        # NO persist on the mention stream: re-deriving it from the
+        # (zstd-compressed, column-pruned) extraction table is parallel
+        # CPU, while caching it is serial shared-disk IO — the one
+        # resource that does not scale with executors.  The vocabulary-
+        # sized norm->entity map IS persisted (tiny) and reused by every
+        # consumer.
+        ments = extract_mod.mentions(extracted)
         raw = extract_mod.raw_triples(extracted)
         comp = spark.read.parquet(paths["components"])
         canon = mat_mod.canonical_names(ments, comp)
         n2e = mat_mod.norm_to_entity(comp, canon).persist()
         n2e.count()  # materialize the (vocabulary-sized) map before reuse
-        resolved = mat_mod.resolve_triples(raw, n2e=n2e).persist(
-            StorageLevel.DISK_ONLY
-        )
+        resolved = mat_mod.resolve_triples(raw, n2e=n2e)
         m2nio.write_table(mat_mod.nodes(ments, n2e=n2e), paths["nodes"])
         m2nio.write_table(
             mat_mod.edges(resolved, cfg.max_provenance), paths["edges"]
         )
         m2nio.write_table(mat_mod.triples(resolved), paths["triples"])
-        ments.unpersist()
-        resolved.unpersist()
         n2e.unpersist()
     written = spark.read.parquet(paths["triples"])
     row = written.agg(
