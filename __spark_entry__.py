@@ -304,6 +304,46 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def word_freq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode coverage: corpus word frequencies, deterministic top-50."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+_WORD_FREQ_SQL = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc coverage: hourly event volumes and value sums."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -505,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_by_type": events_json_by_type,
         "events_sessionize": events_sessionize,
         "rollup_orders_status_priority": rollup_orders_status_priority,
+        "word_freq_documents": word_freq_documents,
+        "events_hourly_rollup": events_hourly_rollup,
         "exact_dedup_documents": exact_dedup_documents,
         "token_counts_documents": token_counts_documents,
         "quality_scores_documents": quality_scores_documents,
@@ -533,6 +575,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_by_type": _EVENTS_JSON_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "rollup_orders_status_priority": _ROLLUP_SQL,
+        "word_freq_documents": _WORD_FREQ_SQL,
+        "events_hourly_rollup": _EVENTS_HOURLY_SQL,
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "token_counts_documents": _TOKEN_COUNTS_SQL,
         "quality_scores_documents": _QUALITY_SQL,
