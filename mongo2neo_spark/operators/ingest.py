@@ -2,9 +2,13 @@
 turn dedup, W1 stable (conv_id, turn_idx) ordering (SURVEY.md §2.2/§2.5).
 
 Scale notes: the filters sit *before* any UDF so Catalyst pushes them
-into the parquet/Iceberg scan; the dedup window shuffles on the
-fine-grained (conv_id, turn_idx) key, so a hot conversation does NOT
-create a hot partition here.
+into the parquet/Iceberg scan.  Dedup is a hash AGGREGATE on the
+fine-grained (conv_id, turn_idx) key — min(struct(...)) — not a
+row_number window: the aggregate gets map-side partial combine (dup
+payload shrinks before the shuffle), needs NO sort, and a hot
+conversation does not create a hot partition because the key includes
+turn_idx.  min over a struct is field-wise ascending-nulls-first —
+bit-identical to the oracle's survivor order (verified by test).
 """
 
 from __future__ import annotations
@@ -15,14 +19,12 @@ from pyspark.sql import functions as F
 CONTRACT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def ingest(df: DataFrame, roles: tuple | None = None) -> DataFrame:
-    """Contract input -> clean, deduped turns.
+def clean(df: DataFrame, roles: tuple | None = None) -> DataFrame:
+    """P1 prune/cast + P2 validity filter + P4 role predicate (no dedup).
 
-    Exactly one row per (conv_id, turn_idx); the survivor is the minimum
-    row under (role, text, tool, ts) ascending-nulls-first — a *total*
-    deterministic order, mirrored bit-for-bit by the oracle
-    (mongo2neo_spark.oracle.dedup_turns), so per-turn text equality vs
-    the reference holds under any input permutation or duplication.
+    Kept separate from :func:`dedup` so the pipeline can insert its own
+    fixed-width repartition between them — the dedup aggregate then runs
+    partition-locally on that exchange (one full-text shuffle total).
     """
     out = df.select(
         F.col("conv_id").cast("string").alias("conv_id"),
@@ -39,17 +41,32 @@ def ingest(df: DataFrame, roles: tuple | None = None) -> DataFrame:
     )
     if roles:
         out = out.filter(F.col("role").isin(list(roles)))
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.asc_nulls_first("role"),
-        F.asc_nulls_first("text"),
-        F.asc_nulls_first("tool"),
-        F.asc_nulls_first("ts"),
-    )
+    return out
+
+
+def dedup(df: DataFrame) -> DataFrame:
+    """P3: exactly one row per (conv_id, turn_idx).
+
+    The survivor is the minimum row under (role, text, tool, ts)
+    ascending-nulls-first — a *total* deterministic order, mirrored
+    bit-for-bit by the oracle (mongo2neo_spark.oracle.dedup_turns), so
+    per-turn text equality vs the reference holds under any input
+    permutation or duplication.  If ``df`` is already hash-partitioned
+    by (conv_id, turn_idx) (or any superset-compatible key), Catalyst
+    plans this with NO additional exchange.
+    """
     return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy("conv_id", "turn_idx")
+        .agg(F.min(F.struct("role", "text", "tool", "ts")).alias("_m"))
+        .select(
+            "conv_id", "turn_idx", "_m.role", "_m.text", "_m.tool", "_m.ts"
+        )
     )
+
+
+def ingest(df: DataFrame, roles: tuple | None = None) -> DataFrame:
+    """Contract input -> clean, deduped turns (single-call form)."""
+    return dedup(clean(df, roles))
 
 
 def ordered_turns(df: DataFrame) -> DataFrame:

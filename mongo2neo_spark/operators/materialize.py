@@ -18,14 +18,16 @@ MAX_PROVENANCE = 20
 def norm_components(mentions: DataFrame,
                     band_cap: int | None = None,
                     threshold: float | None = None,
-                    pairs: DataFrame | None = None) -> DataFrame:
+                    pairs: DataFrame | None = None,
+                    norms: DataFrame | None = None) -> DataFrame:
     """Full linking + canonicalization: mentions -> (norm, entity_id:long).
 
     Vertices are the distinct norms (ids = xxhash64(norm)); edges are the
     scored LSH candidate pairs above threshold; components come from the
     iterative min-label CC.  Singleton norms keep their own id.
-    Pass ``pairs`` to reuse precomputed candidate pairs (e.g. when the
-    caller also needs the dropped-bands audit from the same LSH pass).
+    Pass ``pairs`` to reuse precomputed candidate pairs and ``norms`` (a
+    single-column distinct-norm frame, e.g. derived from the persisted
+    LSH bands) to skip re-scanning the mention stream for the vertex set.
     """
     if pairs is None:
         kwargs = {}
@@ -34,9 +36,9 @@ def norm_components(mentions: DataFrame,
         if threshold is not None:
             kwargs["threshold"] = threshold
         pairs = link_mod.candidate_pairs(mentions, **kwargs)
-    norms = mentions.select("norm").distinct().withColumn(
-        "id", F.xxhash64("norm")
-    )
+    if norms is None:
+        norms = mentions.select("norm").distinct()
+    norms = norms.withColumn("id", F.xxhash64("norm"))
     edges = (
         pairs.select(
             F.xxhash64("a_norm").alias("src"), F.xxhash64("b_norm").alias("dst")
@@ -46,10 +48,32 @@ def norm_components(mentions: DataFrame,
     return norms.join(comp, "id").select("norm", F.col("component").alias("entity_id"))
 
 
-def canonical_names(mentions: DataFrame, components: DataFrame) -> DataFrame:
+def mention_stats(mentions: DataFrame) -> DataFrame:
+    """ONE pass over the mention stream -> vocabulary-sized rollup
+    (norm, kind, cnt, first_ts, last_ts).
+
+    Canonical-name election AND the node table both derive from this
+    aggregate, so the (huge) mention stream is scanned/shuffled exactly
+    once for both — everything downstream is vocabulary-sized.  Persist
+    the result when feeding multiple consumers.
+    """
+    return mentions.groupBy("norm", "kind").agg(
+        F.count("*").alias("cnt"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def canonical_names(mentions: DataFrame = None, components: DataFrame = None,
+                    stats: DataFrame = None) -> DataFrame:
     """W3: per entity, the most frequent norm (by mention count), ties
-    broken lexicographically -> (entity_id, entity) canonical name."""
-    counts = mentions.groupBy("norm").agg(F.count("*").alias("cnt"))
+    broken lexicographically -> (entity_id, entity) canonical name.
+
+    Pass ``stats`` (a persisted :func:`mention_stats`) to skip the
+    mention-stream scan."""
+    if stats is None:
+        stats = mention_stats(mentions)
+    counts = stats.groupBy("norm").agg(F.sum("cnt").alias("cnt"))
     joined = counts.join(components, "norm")
     w = Window.partitionBy("entity_id").orderBy(F.desc("cnt"), F.asc("norm"))
     return (
@@ -99,19 +123,28 @@ def edges(resolved: DataFrame, max_provenance: int = MAX_PROVENANCE) -> DataFram
     hot keys don't hurt.
     """
     keys = ["subj", "pred", "obj"]
-    weights = resolved.groupBy(*keys).agg(F.count("*").alias("weight"))
     w = Window.partitionBy(*keys).orderBy("conv_id", "turn_idx")
-    prov = (
+    # ONE shuffle: the window's exchange hash-partitions by the edge key,
+    # so the groupBy below is partition-local (Catalyst plans no second
+    # exchange) — weight comes free as max(row_number) and collect_list
+    # skips the null rows beyond the cap, so provenance stays bounded
+    # without a separate filtered pass + join.
+    return (
         resolved.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_provenance)
         .groupBy(*keys)
         .agg(
-            F.sort_array(F.collect_list(F.struct("conv_id", "turn_idx"))).alias(
-                "provenance"
-            )
+            F.max("_rn").cast("long").alias("weight"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_rn") <= max_provenance,
+                        F.struct("conv_id", "turn_idx"),
+                    )
+                )
+            ).alias("provenance"),
         )
+        .select(*keys, "weight", "provenance")
     )
-    return weights.join(prov, keys)
 
 
 def triples(resolved: DataFrame) -> DataFrame:
@@ -121,21 +154,25 @@ def triples(resolved: DataFrame) -> DataFrame:
     )
 
 
-def nodes(mentions: DataFrame, components: DataFrame = None,
-          canon: DataFrame = None, n2e: DataFrame = None) -> DataFrame:
+def nodes(mentions: DataFrame = None, components: DataFrame = None,
+          canon: DataFrame = None, n2e: DataFrame = None,
+          stats: DataFrame = None) -> DataFrame:
     """A2 + W3: node table with mention stats and majority kind.
 
-    One scan: a single (entity, kind) aggregation yields the kind
-    histogram; entity-level stats + majority-kind election then run on
-    that (tiny) aggregate, not on the mention stream again.
+    Derives from the vocabulary-sized :func:`mention_stats` rollup (pass
+    a persisted one via ``stats`` to skip the mention scan entirely):
+    the (entity, kind) histogram, stats, and majority-kind election all
+    run on tiny aggregates, never on the mention stream itself.
     """
     if n2e is None:
         n2e = norm_to_entity(components, canon)
-    m = mentions.join(F.broadcast(n2e), "norm")
+    if stats is None:
+        stats = mention_stats(mentions)
+    m = stats.join(F.broadcast(n2e), "norm")
     by_kind = m.groupBy("entity", "kind").agg(
-        F.count("*").alias("kcnt"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
+        F.sum("cnt").alias("kcnt"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
     )
     w = Window.partitionBy("entity").orderBy(F.desc("kcnt"), F.asc("kind"))
     return (

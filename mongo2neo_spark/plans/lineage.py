@@ -28,13 +28,21 @@ from ..schemas import LINEAGE
 STAGE_KEY = "__stage__"  # partition_key for single-partition (global) stages
 
 
-def checksum_col(df: DataFrame) -> F.Column:
-    """Order-insensitive content checksum over all columns.
+def checksum_expr(cols: Sequence[str]) -> F.Column:
+    """Order-insensitive, duplicate-SENSITIVE content checksum aggregate.
 
-    bit_xor (not sum) so it can't overflow under ANSI mode (default in
-    Spark 4) and stays order/partitioning-insensitive.
+    sum of per-row xxhash64 widened to decimal(38,0): commutative (so
+    partitioning/order can't change it), and — unlike bit_xor, where a
+    row duplicated an even number of times cancels out — every extra
+    copy of a row shifts the value.  decimal(38) headroom means no ANSI
+    overflow until ~10^19 rows.
     """
-    return F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).cast("string")
+    return F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)"))
+
+
+def checksum_col(df: DataFrame) -> F.Column:
+    """checksum_expr over all of ``df``'s columns, stringified."""
+    return checksum_expr(df.columns).cast("string")
 
 
 def lineage_path(out_dir: str) -> str:
@@ -84,6 +92,43 @@ def record(
         " checksum string, wall_ms long, run_id string",
     ).withColumn("ts", now)
     df.write.mode("append").parquet(lineage_path(out_dir))
+
+
+def observe_bucket_metrics(df: DataFrame, buckets: Sequence[int],
+                           cols: Sequence[str], bucket_col: str = "bucket"):
+    """Attach per-bucket (count, checksum) metrics to ``df`` via
+    ``observe()`` — collected as a side effect of the NEXT action (the
+    stage's own write), so lineage costs zero extra scans.
+
+    Returns (Observation, observed_df); after the action,
+    ``obs.get[f"n_{b}"]`` / ``obs.get[f"c_{b}"]`` hold bucket ``b``'s
+    row count and checksum.
+    """
+    from pyspark.sql import Observation
+
+    h = F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+    b_col = F.col(bucket_col)
+    aggs = []
+    for b in buckets:
+        aggs.append(F.count(F.when(b_col == b, 1)).alias(f"n_{b}"))
+        aggs.append(F.sum(F.when(b_col == b, h)).alias(f"c_{b}"))
+    obs = Observation(f"lineage_{buckets[0]}_{buckets[-1]}")
+    return obs, df.observe(obs, *aggs)
+
+
+def observe_table_metrics(df: DataFrame):
+    """Whole-table (count, checksum) metrics via ``observe()``; returns
+    (Observation, observed_df) — read ``obs.get["n"]`` / ``obs.get["c"]``
+    after the next action on ``df``."""
+    from pyspark.sql import Observation
+
+    obs = Observation("lineage_table")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        checksum_expr(df.columns).alias("c"),
+    )
+    return obs, out
 
 
 def stage_metrics(df: DataFrame, key_col: str) -> DataFrame:

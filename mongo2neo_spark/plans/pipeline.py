@@ -82,25 +82,28 @@ def _stage_extract(spark, input_source, paths, cfg, resume) -> None:
     if not todo:
         return
     out_root = paths["lineage"].rsplit("/", 1)[0]
+    todo_ints = [int(b) for b in todo]
 
     with lin.StageTimer() as t:
-        turns = ingest_mod.ingest(m2nio.read_transcripts(spark, input_source))
-        turns = turns.withColumn(
-            "bucket", skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets)
-        )
+        raw = ingest_mod.clean(m2nio.read_transcripts(spark, input_source))
         if len(todo) < cfg.n_buckets:
-            turns = turns.filter(F.col("bucket").isin([int(b) for b in todo]))
-        # K1 salted repartition, keyed by (bucket, turn-salt): spreads a
-        # hot conversation across `salt` partitions for the UDF stage while
-        # keeping output files clustered by the bucket write-partition
-        # (avoids tasks×buckets small-file blowup at scale).
-        # EXPLICIT partition count: AQE sizes coalescing by shuffle BYTES,
-        # but the downstream pandas-UDF work per byte is huge — letting AQE
-        # coalesce here collapses the extraction stage to a handful of
-        # tasks and kills scaling.  User-specified counts are not coalesced.
+            raw = raw.filter(
+                skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets).isin(todo_ints)
+            )
+        # THE one full-text shuffle of the stage: an explicit fixed-width
+        # repartition on the fine-grained dedup key.  (conv_id, turn_idx)
+        # is skew-free — a hot conversation spreads across partitions by
+        # turn_idx, which is the K1 salting effect without a dedicated
+        # salt exchange.  The dedup aggregate below is partition-local on
+        # this exchange (no second shuffle, no sort) and the extraction
+        # UDF runs in the same stage.
+        # EXPLICIT partition count: user-specified repartition widths are
+        # never AQE-coalesced — byte-based coalescing would collapse this
+        # stage to a handful of tasks because the pandas-UDF work per
+        # byte dwarfs the shuffle bytes.
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        salt_col = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(cfg.salt))
-        turns = turns.repartition(n_part, F.col("bucket"), salt_col)
+        raw = raw.repartition(n_part, F.col("conv_id"), F.col("turn_idx"))
+        turns = ingest_mod.dedup(raw)
         # ONE write of the combined extraction table (flat mention/triple
         # arrays, one row per turn); mentions/raw_triples are derived
         # columnar at read time by later stages.  One UDF pass + one
@@ -109,21 +112,30 @@ def _stage_extract(spark, input_source, paths, cfg, resume) -> None:
         ex = extract_mod.extract(turns).withColumn(
             "bucket", skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets)
         )
+        # write-clustering shuffle: NARROW — extraction output carries
+        # mention/triple arrays, not the text, so this exchange is a
+        # fraction of the input bytes.  REBALANCE (not repartition): the
+        # work downstream of this exchange is byte-proportional (parquet
+        # encoding + IO), exactly what AQE's byte-based sizing gets
+        # right — it coalesces small buckets into few files at sandbox
+        # scale AND splits a hot bucket across several write tasks at
+        # 100 TB (the salt trick, done by the optimizer from runtime
+        # sizes).  Plain repartition-by-column is never AQE-resized.
+        ex = ex.hint("rebalance", "bucket")
+        # per-bucket lineage metrics ride the write job via observe() —
+        # no second scan of the (largest) table just to count it.
+        obs, ex = lin.observe_bucket_metrics(
+            ex, todo_ints, ["conv_id", "turn_idx", "bucket"]
+        )
         # dynamic partition overwrite = idempotent per-bucket replace (S2)
         m2nio.write_table(ex, paths["extracted"], partition_by=["bucket"])
 
-    # lineage: per-bucket metrics from the written output (reads back the
-    # bucket-pruned parquet — cheap, and records what actually landed)
-    written = spark.read.parquet(paths["extracted"]).filter(
-        F.col("bucket").isin([int(b) for b in todo])
-    ).select("conv_id", "turn_idx", "bucket")
-    metrics = {r.partition_key: r for r in lin.stage_metrics(written, "bucket").collect()}
+    got = obs.get
     entries = []
     for b in todo:
-        m = metrics.get(b)
-        entries.append(
-            (b, 0, m.output_rows if m else 0, m.checksum if m else "0", t.wall_ms)
-        )
+        n = got.get(f"n_{b}") or 0
+        c = got.get(f"c_{b}")
+        entries.append((b, 0, int(n), str(c) if c is not None else "0", t.wall_ms))
     lin.record(spark, out_root, stage, entries, cfg.run_id)
 
 
@@ -142,17 +154,20 @@ def _stage_components(spark, paths, cfg, resume) -> None:
         pairs = link_mod.candidate_pairs_from_bands(
             bands, cfg.band_cap, cfg.threshold
         )
-        comp = mat_mod.norm_components(ments, pairs=pairs)
+        # vertex set from the persisted bands (every norm has >=1 band
+        # key), not a second scan of the extraction table
+        comp = mat_mod.norm_components(
+            ments, pairs=pairs, norms=bands.select("norm").distinct()
+        )
+        obs, comp = lin.observe_table_metrics(comp)
         m2nio.write_table(comp, paths["components"])
         dropped = link_mod.dropped_from_bands(bands, cfg.band_cap).count()
         bands.unpersist()
-    written = spark.read.parquet(paths["components"])
-    row = written.agg(
-        F.count("*").alias("n"), lin.checksum_col(written).alias("c")
-    ).collect()[0]
+    got = obs.get
     lin.record(
         spark, out_root, stage,
-        [(lin.STAGE_KEY, dropped, row.n, row.c or "0", t.wall_ms)],
+        [(lin.STAGE_KEY, dropped, int(got["n"]),
+          str(got["c"]) if got["c"] is not None else "0", t.wall_ms)],
         cfg.run_id,
     )
 
@@ -166,33 +181,39 @@ def _stage_materialize(spark, paths, cfg, resume) -> None:
     if resume and lin.completed_keys(spark, out_root, stage):
         return
     with lin.StageTimer() as t:
+        from pyspark import StorageLevel
+
         extracted = spark.read.parquet(paths["extracted"])
-        # NO persist on the mention stream: re-deriving it from the
-        # (zstd-compressed, column-pruned) extraction table is parallel
-        # CPU, while caching it is serial shared-disk IO — the one
-        # resource that does not scale with executors.  The vocabulary-
-        # sized norm->entity map IS persisted (tiny) and reused by every
-        # consumer.
-        ments = extract_mod.mentions(extracted)
-        raw = extract_mod.raw_triples(extracted)
+        # The (huge) mention stream is scanned ONCE, straight into the
+        # vocabulary-sized mention_stats rollup; canonical naming, the
+        # norm->entity map, and the node table all run on that tiny
+        # persisted aggregate.  The triple stream is likewise derived
+        # once and persisted (memory-first, disk spill) for its two
+        # consumers (edges, triples) — the alternative is re-reading the
+        # biggest table per output.
+        stats = mat_mod.mention_stats(extract_mod.mentions(extracted)).persist()
         comp = spark.read.parquet(paths["components"])
-        canon = mat_mod.canonical_names(ments, comp)
+        canon = mat_mod.canonical_names(components=comp, stats=stats)
         n2e = mat_mod.norm_to_entity(comp, canon).persist()
         n2e.count()  # materialize the (vocabulary-sized) map before reuse
-        resolved = mat_mod.resolve_triples(raw, n2e=n2e)
-        m2nio.write_table(mat_mod.nodes(ments, n2e=n2e), paths["nodes"])
+        raw = extract_mod.raw_triples(extracted)
+        resolved = mat_mod.resolve_triples(raw, n2e=n2e).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        m2nio.write_table(mat_mod.nodes(stats=stats, n2e=n2e), paths["nodes"])
         m2nio.write_table(
             mat_mod.edges(resolved, cfg.max_provenance), paths["edges"]
         )
-        m2nio.write_table(mat_mod.triples(resolved), paths["triples"])
+        obs, triples_df = lin.observe_table_metrics(mat_mod.triples(resolved))
+        m2nio.write_table(triples_df, paths["triples"])
+        resolved.unpersist()
+        stats.unpersist()
         n2e.unpersist()
-    written = spark.read.parquet(paths["triples"])
-    row = written.agg(
-        F.count("*").alias("n"), lin.checksum_col(written).alias("c")
-    ).collect()[0]
+    got = obs.get
     lin.record(
         spark, out_root, stage,
-        [(lin.STAGE_KEY, 0, row.n, row.c or "0", t.wall_ms)],
+        [(lin.STAGE_KEY, 0, int(got["n"]),
+          str(got["c"]) if got["c"] is not None else "0", t.wall_ms)],
         cfg.run_id,
     )
 
