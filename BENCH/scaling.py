@@ -113,6 +113,12 @@ def main() -> None:
     print("N  :", r_n)
     r_4n = run_at(SIZES["4N"], zpath)
     print("4N :", r_4n)
+    # the BASELINE.md claim "identical at both sizes" must be CHECKED,
+    # not assumed — partitioning-independence is a correctness property
+    assert r_n["triples"] == r_4n["triples"], (
+        f"triple counts diverge across cluster sizes: "
+        f"N={r_n['triples']} 4N={r_4n['triples']}"
+    )
     eff = (r_4n["turns_per_sec"] / r_n["turns_per_sec"]) / 4.0
     report = {
         "input_turns": r_n["turns"],

@@ -24,12 +24,18 @@ MAX_ITERATIONS = 50
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, max_iterations: int = MAX_ITERATIONS
+    edges: DataFrame, vertices: DataFrame, max_iterations: int = MAX_ITERATIONS,
+    star_fallback_after: int | None = None
 ) -> DataFrame:
     """edges(src:long, dst:long) + vertices(id:long) -> (id, component).
 
     ``vertices`` must contain every id in ``edges`` (singletons allowed —
     they keep their own id as component).
+
+    Hash-min propagation needs O(diameter) rounds — right for the
+    shallow alias-star graphs linking produces, degenerate on long
+    chains.  ``star_fallback_after=k`` switches to the O(log² n)
+    large-star/small-star algorithm if round ``k`` still sees changes.
     """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -40,7 +46,13 @@ def connected_components(
     labels = _materialize(labels)
     handle = labels  # the persisted DataFrame backing `labels`
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        if star_fallback_after is not None and it >= star_fallback_after:
+            # diameter apparently large: hand off to the round-bounded
+            # star algorithm on the original edges
+            handle.unpersist()
+            sym.unpersist()
+            return connected_components_star(edges, vertices, max_iterations)
         # neighbor labels: for each edge src->dst, src's label flows to dst.
         # The old label rides along (is_old tag) so one aggregation yields
         # BOTH the new min-label and the change indicator — a single
@@ -70,6 +82,86 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+# ---------------------------------------------------------------------------
+# large-star / small-star CC — the high-diameter fallback
+# ---------------------------------------------------------------------------
+def _canon(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ⁺(u))."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("mn"))
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to min(Γ≤(u))."""
+    oriented = _canon(edges)  # (src=hi, dst=lo), lo < hi
+    m = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    j = oriented.join(m, "src")
+    return (
+        j.select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .unionByName(m.select("src", F.col("mn").alias("dst")))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_iterations: int = MAX_ITERATIONS
+) -> DataFrame:
+    """Large-star/small-star CC (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14 — public algorithm): alternating
+    star contractions converge in O(log² n) rounds REGARDLESS of graph
+    diameter, where hash-min label propagation needs O(diameter) rounds.
+    Use for long-chain graphs; hash-min stays cheaper for the shallow
+    alias-star graphs entity linking actually produces.
+
+    Same contract as :func:`connected_components`: min-id component
+    labels, singletons keep their own id.
+    """
+    cur = _materialize(_canon(edges))
+    handle = cur
+    prev_sig = None
+    for _ in range(max_iterations):
+        nxt = _materialize(_canon(_small_star(_large_star(cur))))
+        row = nxt.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("c"),
+        ).collect()[0]
+        sig = (row.n, row.c)
+        handle.unpersist()
+        handle = nxt
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star state: every edge is (child, root) with root < child
+    mapping = cur.groupBy("src").agg(F.min("dst").alias("component"))
+    out = (
+        vertices.join(mapping.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+    return out
+
+
+HASHMIN_MAX_ROUNDS_BEFORE_FALLBACK = 8
 DRIVER_CC_MAX_EDGES = 5_000_000
 
 
@@ -90,7 +182,10 @@ def connected_components_auto(
     edges = edges.persist()
     n_edges = edges.count()
     if n_edges > driver_max_edges:
-        out = connected_components(edges, vertices)
+        out = connected_components(
+            edges, vertices,
+            star_fallback_after=HASHMIN_MAX_ROUNDS_BEFORE_FALLBACK,
+        )
         edges.unpersist()
         return out
     parent: dict = {}
@@ -103,11 +198,13 @@ def connected_components_auto(
             parent[x], x = r, parent[x]
         return r
 
-    # collect, not toLocalIterator: the branch guarantees <= driver_max_edges
-    # rows (~80 MB at the 5M default), and toLocalIterator pays one
-    # sequential job per partition
-    for row in edges.select("src", "dst").collect():
-        ra, rb = find(row.src), find(row.dst)
+    # Arrow transfer (toPandas), not collect(): two numpy int64 columns
+    # are ~16 B/edge (~80 MB at the 5M default) where a list of Row
+    # objects costs 100+ B/edge and risks driver OOM right at the
+    # threshold.  Single job either way.
+    pdf = edges.select("src", "dst").toPandas()
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo

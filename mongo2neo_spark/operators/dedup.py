@@ -24,14 +24,24 @@ from . import cc as cc_mod
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", hash_fn=None) -> DataFrame:
     """Exact dedup: one survivor (min id) per identical text value.
 
-    A single hash-aggregate shuffle on the text hash — at 100 TB the
-    group key should be xxhash64(text), not text itself, to keep shuffle
-    rows narrow; we group on the hash and keep the text from the survivor.
+    One shuffle, keyed by (xxhash64(text), length(text), text).  The
+    hash prefix keeps the partitioner cheap; the text itself stays in
+    the grouping key as the in-group equality VERIFY, so a 64-bit hash
+    collision between two distinct documents can never silently delete
+    one of them (at the 10^10+-doc design scale birthday collisions are
+    expected: ~n²/2⁶⁵).  Shuffle width is unchanged — the row carries
+    the text column either way; only the comparator sees it, and the
+    hash prefix short-circuits almost every comparison.
+
+    ``hash_fn`` injects the prefix hash (tests force a constant to prove
+    the verify step keeps colliding-but-distinct documents apart).
     """
-    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(id_col))
+    text = F.col(text_col)
+    h = hash_fn(text) if hash_fn is not None else F.xxhash64(text)
+    w = Window.partitionBy(h, F.length(text), text).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -78,27 +88,42 @@ def minhash_dedup_components(
     band_cap: int = hashing.BAND_CAP,
 ) -> DataFrame:
     """(id, component) near-dup clusters: MinHash over word-3-shingles,
-    LSH banding, exact jaccard verify at ``threshold``, CC."""
+    LSH banding, exact jaccard verify at ``threshold``, CC.
+
+    Shuffle discipline: the band stream is (id, band_key) ONLY — the
+    document text never rides the ×LSH_BANDS explode or the band
+    self-join (that would be ~12× corpus bytes of shuffle at 100 TB).
+    Texts rejoin for the *surviving candidate pairs* only, via two
+    narrow id-keyed joins that AQE turns into broadcasts whenever the
+    candidate set is small relative to the corpus.
+    """
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
     )
     bands = base.select(
-        "id", "_t", F.explode(_shingle_band_keys_udf(F.col("_t"))).alias("band_key")
+        "id", F.explode(_shingle_band_keys_udf(F.col("_t"))).alias("band_key")
     )
     w = Window.partitionBy("band_key")
     bands = bands.withColumn("bs", F.count("*").over(w)).filter(
         F.col("bs") <= band_cap
     )
-    a = bands.select(F.col("id").alias("a_id"), F.col("_t").alias("a_t"), "band_key")
-    b = bands.select(F.col("id").alias("b_id"), F.col("_t").alias("b_t"), "band_key")
+    a = bands.select(F.col("id").alias("a_id"), "band_key")
+    b = bands.select(F.col("id").alias("b_id"), "band_key")
     pairs = (
         a.join(b, "band_key")
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
-        .withColumn("jac", _shingle_jaccard_udf(F.col("a_t"), F.col("b_t")))
-        .filter(F.col("jac") >= threshold)
     )
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    with_texts = pairs.join(
+        base.select(F.col("id").alias("a_id"), F.col("_t").alias("a_t")), "a_id"
+    ).join(
+        base.select(F.col("id").alias("b_id"), F.col("_t").alias("b_t")), "b_id"
+    )
+    verified = with_texts.withColumn(
+        "jac", _shingle_jaccard_udf(F.col("a_t"), F.col("b_t"))
+    ).filter(F.col("jac") >= threshold)
+    edges = verified.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     return cc_mod.connected_components_auto(edges, base.select("id"))
 
 

@@ -63,6 +63,26 @@ def streaming_extract(
     return extract_mod.extract(clean)
 
 
+def read_streamed_extracted(spark: SparkSession, path: str):
+    """Batch-read a streaming-APPENDED extraction table with exactly one
+    row per (conv_id, turn_idx).
+
+    ``dropDuplicatesWithinWatermark`` only guards duplicates arriving
+    inside the watermark; a turn replayed later lands as a second
+    appended row.  Batch consumers (canonicalize/materialize) MUST read
+    through this helper — the deterministic min-struct survivor matches
+    the batch pipeline's P3 semantics, so streamed-then-batch and pure
+    batch runs emit identical triples.
+    """
+    df = spark.read.parquet(path)
+    others = [c for c in df.columns if c not in ("conv_id", "turn_idx")]
+    return (
+        df.groupBy("conv_id", "turn_idx")
+        .agg(F.min(F.struct(*others)).alias("_m"))
+        .select("conv_id", "turn_idx", *[f"_m.{c}" for c in others])
+    )
+
+
 def start_extraction_stream(
     spark: SparkSession,
     source_dir: str,
@@ -94,7 +114,10 @@ def foreach_batch_pipeline(spark, source_dir: str, out_dir: str,
     canonicalize/materialize stages (plans.pipeline) periodically over
     the accumulated table — global linking cannot be incrementalized
     without approximation, and the contract's lineage/resume makes the
-    periodic batch cheap.
+    periodic batch cheap.  Because appends can replay a turn across
+    micro-batches, those batch stages must consume the table via
+    :func:`read_streamed_extracted` (cross-batch (conv_id, turn_idx)
+    dedup), never via a raw ``spark.read.parquet``.
     """
     stream = read_transcript_stream(spark, source_dir)
 

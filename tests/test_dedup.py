@@ -18,6 +18,20 @@ def test_exact_dedup_keeps_min_id(spark):
     assert out == [0, 1, 4]
 
 
+def test_exact_dedup_hash_collision_does_not_merge(spark):
+    """Two DISTINCT texts forced into one hash group (constant hash_fn)
+    must both survive — the text column in the grouping key is the
+    in-group equality verify that defuses 64-bit birthday collisions."""
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, ["first document", "second document", "first document"])
+    out = sorted(
+        r.doc_id
+        for r in dedup.exact_dedup(df, hash_fn=lambda c: F.lit(0)).collect()
+    )
+    assert out == [0, 1]  # true dup (id 2) gone; colliding distinct kept
+
+
 def test_minhash_dedup_merges_near_duplicates(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = " ".join(f"tok{i}" for i in range(58)) + " x1 x2"  # ~93% shingle overlap

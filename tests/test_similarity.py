@@ -55,6 +55,27 @@ def test_lsh_results_subset_of_bruteforce_scores(spark, emb_df):
         assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
 
 
+def test_multi_table_recall_beats_single_table(spark, emb_df):
+    """More hash tables -> monotonically growing candidate union; with
+    enough tables the measured recall must clear 0.9 on this fixture."""
+    df, _ = emb_df
+    rec1 = similarity.ann_recall(
+        df, df.filter("vec_id < 5"), k=5, n_planes=4, n_tables=1
+    ).collect()
+    rec16 = similarity.ann_recall(
+        df, df.filter("vec_id < 5"), k=5, n_planes=4, n_tables=16
+    ).collect()
+    mean1 = sum(r.recall for r in rec1) / len(rec1)
+    mean16 = sum(r.recall for r in rec16) / len(rec16)
+    assert mean16 >= mean1
+    assert mean16 >= 0.9
+
+
+def test_infer_dim(spark, emb_df):
+    df, vecs = emb_df
+    assert similarity.infer_dim(df) == vecs.shape[1]
+
+
 def test_self_excluded(spark, emb_df):
     df, _ = emb_df
     out = similarity.brute_force_topk(df, df.filter("vec_id < 3"), k=5).collect()

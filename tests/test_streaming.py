@@ -46,6 +46,26 @@ def test_streaming_extraction_matches_batch(spark, small_rows, stream_dirs):
     assert got_m == ref
 
 
+def test_read_streamed_extracted_dedups_cross_batch(spark, small_rows, tmp_path):
+    """A turn replayed across micro-batches (beyond the watermark) lands
+    twice in the appended table; the batch-consumer helper must collapse
+    it back to one row per (conv_id, turn_idx)."""
+    pdf = fixtures.turns_to_pandas(small_rows)
+    df = spark.createDataFrame(pdf)
+    ex = extract.extract(ingest.ingest(df))
+    ex.write.parquet(str(tmp_path / "ext"), mode="append")
+    ex.limit(7).write.parquet(str(tmp_path / "ext"), mode="append")  # replay
+    raw = spark.read.parquet(str(tmp_path / "ext"))
+    deduped = streaming.read_streamed_extracted(spark, str(tmp_path / "ext"))
+    assert raw.count() == ex.count() + 7
+    assert deduped.count() == ex.count()
+    got = {(r.conv_id, r.turn_idx, r.span_start, r.norm)
+           for r in extract.mentions(deduped).collect()}
+    ref = {(r.conv_id, r.turn_idx, r.span_start, r.norm)
+           for r in extract.mentions(ex).collect()}
+    assert got == ref
+
+
 def test_foreach_batch_pipeline(spark, small_rows, tmp_path):
     pdf = fixtures.turns_to_pandas(small_rows)
     spark.createDataFrame(pdf).write.parquet(str(tmp_path / "in"))
