@@ -2,11 +2,18 @@
 
 ``entry(spark)`` — flagship document→graph ETL (the mongo2neo analog) on
 sf0.001.  ``queries()`` — one entry per implemented operator family from
-SURVEY.md §2 plus the training-data operators; each has a DuckDB oracle in
-``oracle_sql()`` unless the op is not SQL-expressible (MinHash/LSH, CC,
-hyperplane LSH, rolling fingerprints, the full KG pipeline) — those are
-rows-only checks here but are validated against the pure-Python oracle in
-tests/ (P/R == 1.0).
+SURVEY.md §2 plus the training-data operators.  EVERY entry has a DuckDB
+oracle in ``oracle_sql()``:
+
+- SQL-expressible operators carry a direct ANSI-SQL equivalent;
+- deterministic-but-not-SQL-expressible ones (MinHash-LSH clustering,
+  SimHash, rolling fingerprints, the full rule-based KG extraction,
+  multimodal plumbing) carry the pure-Python specification
+  implementation's output rendered as a DuckDB VALUES query
+  (mongo2neo_spark/entry_oracle.py) — same row-count/schema/value-hash
+  gate as everything else;
+- the approximate ANN path is gated on its MEASURED recall@10 vs exact
+  brute force (deterministic under the fixed plane seed).
 
 Column names and integer widths are aligned between both sides: every
 computed column is aliased identically, counts/ranks cast to bigint,
@@ -17,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -465,17 +473,27 @@ SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM ranked WHERE rank 
 """
 
 
-# --- rows-only checks (not SQL-expressible; validated vs the pure-Python
-# oracle in tests/) ---------------------------------------------------------
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2neo_spark.operators.similarity import lsh_bucketed_topk
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN, gated by its MEASURED recall@10 vs
+    exact brute force — the oracle row asserts per-query ground-truth
+    size and recall >= 0.9 (deterministic: fixed plane seed, fixed data).
+    An approximate index without a recall meter is not an operator."""
+    from mongo2neo_spark.operators.similarity import ann_recall
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = lsh_bucketed_topk(emb, emb.filter("vec_id < 5"), k=10, dim=64)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
-        F.col("rank").cast("long").alias("rank"),
+    rec = ann_recall(emb, emb.filter("vec_id < 5"), k=10,
+                     n_planes=3, n_tables=16)
+    return rec.select(
+        "query_id",
+        "n_exact",
+        (F.col("recall") >= 0.9).alias("recall_ok"),
     )
+
+
+_ANN_LSH_RECALL_SQL = """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
 
 
 def minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,6 +542,71 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# map functions (SURVEY §2.9) + grouped-agg pandas UDAF (A7)
+# ---------------------------------------------------------------------------
+def events_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_entries / map_keys / element_at coverage: per user, an
+    event_type->count map queried for its size and the 'click' entry."""
+    events = _t(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0))
+        .cast("long")
+        .alias("n_click"),
+    )
+
+
+_EVENTS_TYPE_MAP_SQL = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click
+FROM events GROUP BY user_id
+"""
+
+
+def rms_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 grouped-agg pandas UDAF: per-language root-mean-square document
+    length.  The UDAF accumulates the square-sum in exact Python integers
+    and divides once, so the double result is bit-identical to DuckDB's
+    SQRT(SUM(n*n)/COUNT(*)) over the same int64 column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def rms(v: pd.Series) -> float:
+        if len(v) == 0:
+            return 0.0
+        s = int((v.astype("int64").astype(object) ** 2).sum())
+        return float(s / len(v)) ** 0.5
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in one
+    # agg(), so the count is a (tiny) second UDAF over the same column
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(rms(F.col("n_chars")), 6).alias("rms_chars"),
+        n_rows(F.col("n_chars")).alias("n_docs"),
+    )
+
+
+_RMS_CHARS_SQL = """
+SELECT lang,
+       ROUND(SQRT(CAST(SUM(n_chars * n_chars) AS DOUBLE) / COUNT(*)), 6) AS rms_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -552,12 +635,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_documents": quality_scores_documents,
         "lang_id_documents": lang_id_documents,
         "ann_topk_cosine": ann_topk_cosine,
-        "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_recall": ann_lsh_recall,
         "minhash_doc_clusters": minhash_doc_clusters,
         "simhash_doc_signatures": simhash_doc_signatures,
         "doc_fingerprints": doc_fingerprints,
         "kg_triples_synthetic": kg_triples_synthetic,
         "multimodal_features": multimodal_features,
+        "events_type_map": events_type_map,
+        "rms_chars_by_lang": rms_chars_by_lang,
     }
 
 
@@ -582,7 +667,23 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_documents": _QUALITY_SQL,
         "lang_id_documents": _lang_id_sql(),
         "ann_topk_cosine": _ANN_TOPK_SQL,
-        # ann_lsh_topk / minhash_doc_clusters / simhash_doc_signatures /
-        # doc_fingerprints / kg_triples_synthetic / multimodal_features:
-        # not SQL-expressible -> rows-only checks (oracle parity in tests/)
+        # deterministic-but-not-SQL-expressible operators: the pure-Python
+        # specification implementation (shared rules/hashing, zero Spark)
+        # computes the expected output driver-side and entry_oracle renders
+        # it as a DuckDB VALUES query — a hard row-count/schema/value-hash
+        # check, not a rows-only count (mongo2neo_spark/entry_oracle.py)
+        "ann_lsh_recall": _ANN_LSH_RECALL_SQL,
+        "minhash_doc_clusters": _eo().minhash_clusters_sql(),
+        "simhash_doc_signatures": _eo().simhash_sql(),
+        "doc_fingerprints": _eo().fingerprints_sql(),
+        "kg_triples_synthetic": _eo().kg_triples_sql(),
+        "multimodal_features": _eo().multimodal_sql(),
+        "events_type_map": _EVENTS_TYPE_MAP_SQL,
+        "rms_chars_by_lang": _RMS_CHARS_SQL,
     }
+
+
+def _eo():
+    from mongo2neo_spark import entry_oracle
+
+    return entry_oracle
