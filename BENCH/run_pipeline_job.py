@@ -32,6 +32,15 @@ def main() -> None:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # scans must be at least as wide as the cluster: the default 128MB
+    # maxPartitionBytes packs a ~1GB intermediate table into ~8 splits,
+    # capping every downstream map stage at 8-way parallelism no matter
+    # how many executors there are (this is what get_spark() does for
+    # local sessions; spark-submit jobs must do it from defaultParallelism)
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum",
+        str(2 * spark.sparkContext.defaultParallelism),
+    )
 
     n_turns = spark.read.parquet(args.input).count()
     # warm UDF workers so the measurement is steady-state at both sizes

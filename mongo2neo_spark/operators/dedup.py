@@ -80,6 +80,35 @@ def _shingle_jaccard_udf(
         yield pd.Series(out, dtype="float64")
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_cap: int = hashing.BAND_CAP,
+) -> DataFrame:
+    """Candidate near-dup id pairs (a_id < b_id) from LSH banding.
+
+    The band stream is (id, band_key) ONLY — the text column never
+    enters the explode or the self-join shuffle (id-width payload).
+    Bands over ``band_cap`` members are dropped (K3 hot-band rule)."""
+    bands = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(_shingle_band_keys_udf(F.col(text_col))).alias("band_key"),
+    )
+    w = Window.partitionBy("band_key")
+    bands = bands.withColumn("bs", F.count("*").over(w)).filter(
+        F.col("bs") <= band_cap
+    )
+    a = bands.select(F.col("id").alias("a_id"), "band_key")
+    b = bands.select(F.col("id").alias("b_id"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def minhash_dedup_components(
     df: DataFrame,
     text_col: str = "text",
@@ -100,21 +129,7 @@ def minhash_dedup_components(
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
     )
-    bands = base.select(
-        "id", F.explode(_shingle_band_keys_udf(F.col("_t"))).alias("band_key")
-    )
-    w = Window.partitionBy("band_key")
-    bands = bands.withColumn("bs", F.count("*").over(w)).filter(
-        F.col("bs") <= band_cap
-    )
-    a = bands.select(F.col("id").alias("a_id"), "band_key")
-    b = bands.select(F.col("id").alias("b_id"), "band_key")
-    pairs = (
-        a.join(b, "band_key")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    pairs = minhash_candidate_pairs(df, text_col, id_col, band_cap)
     with_texts = pairs.join(
         base.select(F.col("id").alias("a_id"), F.col("_t").alias("a_t")), "a_id"
     ).join(

@@ -64,6 +64,40 @@ def dedup(df: DataFrame) -> DataFrame:
     )
 
 
+def dedup_adaptive(df: DataFrame) -> DataFrame:
+    """P3 dedup that only shuffles rows that are ACTUALLY duplicated.
+
+    The full-row shuffle in :func:`dedup` exists purely to co-locate
+    duplicate (conv_id, turn_idx) keys — but at production scale
+    duplicates are the exception (a replayed partition, a retried
+    writer), so shuffling 100 TB of text to dedup a few thousand rows is
+    the wrong default.  Shape:
+
+        dup_keys = narrow (column-pruned) aggregate -> keys with count>1
+        unique   = df ANTI-join dup_keys   (AQE broadcasts tiny dup_keys
+                                            -> the text stream never
+                                            shuffles)
+        dupes    = df SEMI-join dup_keys  |> dedup()  (full shuffle of
+                                            just the duplicated rows)
+        result   = unique UNION dupes
+
+    No duplicates at all -> zero full-row exchanges.  Pathological
+    duplication degrades gracefully: AQE falls back from broadcast to a
+    shuffled join and the cost approaches plain :func:`dedup`.
+    Survivor semantics are identical (same total order, same oracle).
+    """
+    keys = ["conv_id", "turn_idx"]
+    dup_keys = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select(*keys)
+    )
+    unique = df.join(dup_keys, keys, "left_anti")
+    dupes = dedup(df.join(dup_keys, keys, "left_semi"))
+    return unique.unionByName(dupes)
+
+
 def ingest(df: DataFrame, roles: tuple | None = None) -> DataFrame:
     """Contract input -> clean, deduped turns (single-call form)."""
     return dedup(clean(df, roles))

@@ -42,6 +42,12 @@ class PipelineConfig:
     band_cap: int = hashing.BAND_CAP
     threshold: float = rules.LINK_THRESHOLD
     max_provenance: int = mat_mod.MAX_PROVENANCE
+    # P3 strategy: "shuffle" (classic full-row exchange), "adaptive"
+    # (narrow dup-scan + anti/semi join — the text stream never shuffles
+    # when duplicates are absent), or "auto" (cost-based: adaptive pays
+    # when the text payload is wide relative to the dedup key, measured
+    # from a row sample; both strategies produce identical rows)
+    dedup_strategy: str = "auto"
     run_id: str = ""
 
     def __post_init__(self):
@@ -90,20 +96,36 @@ def _stage_extract(spark, input_source, paths, cfg, resume) -> None:
             raw = raw.filter(
                 skew_mod.bucket_of(F.col("conv_id"), cfg.n_buckets).isin(todo_ints)
             )
-        # THE one full-text shuffle of the stage: an explicit fixed-width
-        # repartition on the fine-grained dedup key.  (conv_id, turn_idx)
-        # is skew-free — a hot conversation spreads across partitions by
-        # turn_idx, which is the K1 salting effect without a dedicated
-        # salt exchange.  The dedup aggregate below is partition-local on
-        # this exchange (no second shuffle, no sort) and the extraction
-        # UDF runs in the same stage.
-        # EXPLICIT partition count: user-specified repartition widths are
-        # never AQE-coalesced — byte-based coalescing would collapse this
-        # stage to a handful of tasks because the pandas-UDF work per
-        # byte dwarfs the shuffle bytes.
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        raw = raw.repartition(n_part, F.col("conv_id"), F.col("turn_idx"))
-        turns = ingest_mod.dedup(raw)
+        # P3 dedup, cost-based:
+        # - "adaptive": a narrow column-pruned aggregate finds the (rare)
+        #   duplicated keys; the text stream is anti-joined against that
+        #   tiny set (AQE broadcast) and NEVER shuffles when duplicates
+        #   are absent — the win grows with text width (real transcripts
+        #   are KBs/turn; the dup-scan moves only the ~30-byte keys).
+        # - "shuffle": the classic full-row exchange + partition-local
+        #   min(struct) aggregate — cheaper when rows are barely wider
+        #   than their keys, because adaptive's dup-scan would move
+        #   almost as many bytes and still pay the extra pass.
+        # Both yield identical rows (tests assert it); "auto" picks by
+        # the sampled text:key byte ratio.  Either way (conv_id,
+        # turn_idx) is fine-grained, so a hot conversation spreads
+        # across partitions — the K1 salting effect without a dedicated
+        # salt exchange.
+        strategy = cfg.dedup_strategy
+        if strategy == "auto":
+            s = raw.limit(20_000).agg(
+                F.avg(F.length("text")).alias("t"),
+                F.avg(F.length("conv_id")).alias("k"),
+            ).first()
+            wide = s.t is not None and s.t > 4.0 * (float(s.k or 0) + 8.0)
+            strategy = "adaptive" if wide else "shuffle"
+        if strategy == "adaptive":
+            turns = ingest_mod.dedup_adaptive(raw)
+        else:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            turns = ingest_mod.dedup(
+                raw.repartition(n_part, F.col("conv_id"), F.col("turn_idx"))
+            )
         # ONE write of the combined extraction table (flat mention/triple
         # arrays, one row per turn); mentions/raw_triples are derived
         # columnar at read time by later stages.  One UDF pass + one
@@ -127,8 +149,13 @@ def _stage_extract(spark, input_source, paths, cfg, resume) -> None:
         obs, ex = lin.observe_bucket_metrics(
             ex, todo_ints, ["conv_id", "turn_idx", "bucket"]
         )
-        # dynamic partition overwrite = idempotent per-bucket replace (S2)
-        m2nio.write_table(ex, paths["extracted"], partition_by=["bucket"])
+        # dynamic partition overwrite = idempotent per-bucket replace (S2);
+        # small row groups keep the table splittable for the three
+        # downstream scans regardless of how few files AQE produces
+        m2nio.write_table(
+            ex, paths["extracted"], partition_by=["bucket"],
+            options={"parquet.block.size": m2nio.INTERMEDIATE_ROW_GROUP_BYTES},
+        )
 
     got = obs.get
     entries = []
@@ -181,32 +208,34 @@ def _stage_materialize(spark, paths, cfg, resume) -> None:
     if resume and lin.completed_keys(spark, out_root, stage):
         return
     with lin.StageTimer() as t:
-        from pyspark import StorageLevel
-
         extracted = spark.read.parquet(paths["extracted"])
         # The (huge) mention stream is scanned ONCE, straight into the
         # vocabulary-sized mention_stats rollup; canonical naming, the
         # norm->entity map, and the node table all run on that tiny
-        # persisted aggregate.  The triple stream is likewise derived
-        # once and persisted (memory-first, disk spill) for its two
-        # consumers (edges, triples) — the alternative is re-reading the
-        # biggest table per output.
+        # persisted aggregate.  The triple stream is NOT persisted:
+        # re-deriving it per consumer (column-pruned scan + broadcast
+        # joins) is parallel CPU, while the columnar cache build is
+        # measurably the opposite — A/B at 27M turns: edges+triples
+        # take 24.7s at 4N with a MEMORY_AND_DISK persist vs 12.7s
+        # recomputing (and 34.4 vs 29.7 at N).  Cache only what is
+        # vocabulary-sized.
         stats = mat_mod.mention_stats(extract_mod.mentions(extracted)).persist()
         comp = spark.read.parquet(paths["components"])
         canon = mat_mod.canonical_names(components=comp, stats=stats)
         n2e = mat_mod.norm_to_entity(comp, canon).persist()
         n2e.count()  # materialize the (vocabulary-sized) map before reuse
-        raw = extract_mod.raw_triples(extracted)
-        resolved = mat_mod.resolve_triples(raw, n2e=n2e).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+
+        def resolved():
+            return mat_mod.resolve_triples(
+                extract_mod.raw_triples(extracted), n2e=n2e
+            )
+
         m2nio.write_table(mat_mod.nodes(stats=stats, n2e=n2e), paths["nodes"])
         m2nio.write_table(
-            mat_mod.edges(resolved, cfg.max_provenance), paths["edges"]
+            mat_mod.edges(resolved(), cfg.max_provenance), paths["edges"]
         )
-        obs, triples_df = lin.observe_table_metrics(mat_mod.triples(resolved))
+        obs, triples_df = lin.observe_table_metrics(mat_mod.triples(resolved()))
         m2nio.write_table(triples_df, paths["triples"])
-        resolved.unpersist()
         stats.unpersist()
         n2e.unpersist()
     got = obs.get

@@ -41,24 +41,43 @@ def write_table(
     target: str,
     partition_by: Optional[Sequence[str]] = None,
     mode: str = "overwrite",
+    options: Optional[dict] = None,
 ) -> None:
     """S2: idempotent table write.
 
     With ``partition_by`` and mode=overwrite, dynamic partition overwrite
     replaces exactly the partitions present in ``df`` — re-running a
     completed stage is a no-op change-wise (resume contract).
+
+    ``options`` passes writer options through (e.g. a small
+    ``parquet.block.size`` for INTERMEDIATE tables: parquet scans split
+    at row-group granularity, so a stage output written as a few large
+    row groups caps every downstream scan's parallelism at the file
+    count no matter what minPartitionNum asks for).
     """
     if TABLE_FORMAT == "iceberg" and not _is_path(target):
         writer = df.writeTo(target)
+        if options:
+            for k, v in options.items():
+                writer = writer.option(k, str(v))
         if mode == "append":
             writer.append()
         else:
             writer.overwritePartitions()
         return
     w = df.write.mode(mode)
+    if options:
+        for k, v in options.items():
+            w = w.option(k, str(v))
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(target)
+
+
+# row-group size for intermediate (re-scanned) tables: small enough that
+# downstream scans can split a file into many tasks, large enough that
+# column-chunk encoding stays efficient
+INTERMEDIATE_ROW_GROUP_BYTES = 16 * 1024 * 1024
 
 
 def append_table(df: DataFrame, target: str) -> None:

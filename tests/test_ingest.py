@@ -63,6 +63,44 @@ def test_per_turn_text_equality_under_permutation(spark, small_rows):
     assert got == ref
 
 
+def test_dedup_adaptive_matches_dedup(spark, small_rows):
+    """The anti/semi adaptive dedup must be row-identical to the plain
+    shuffle dedup — on duplicate-free AND duplicate-heavy inputs."""
+    from mongo2neo_spark import fixtures
+
+    clean_df = ingest.clean(
+        spark.createDataFrame(fixtures.turns_to_pandas(small_rows))
+    )
+    messy_df = ingest.clean(
+        spark.createDataFrame(
+            fixtures.turns_to_pandas(
+                fixtures.with_duplicates_and_shuffle(small_rows, dup_rate=0.4)
+            )
+        )
+    )
+    for df in (clean_df, messy_df):
+        a = sorted(map(tuple, ingest.dedup(df).collect()))
+        b = sorted(map(tuple, ingest.dedup_adaptive(df).collect()))
+        assert a == b
+
+
+def test_dedup_adaptive_survivor_determinism(spark):
+    import datetime as _dt
+
+    ts = _dt.datetime(2026, 1, 1)
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "user", "bbb", None, ts),
+            ("c1", 0, "assistant", "aaa", None, ts),
+            ("c1", 1, "user", "solo", None, ts),
+        ],
+    )
+    out = {r.turn_idx: r for r in ingest.dedup_adaptive(ingest.clean(df)).collect()}
+    assert out[0].role == "assistant" and out[0].text == "aaa"
+    assert out[1].text == "solo"
+
+
 def test_role_filter(spark):
     ts = dt.datetime(2026, 1, 1)
     df = _df(
