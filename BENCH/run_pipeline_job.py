@@ -43,10 +43,14 @@ def main() -> None:
     )
 
     n_turns = spark.read.parquet(args.input).count()
-    # warm UDF workers so the measurement is steady-state at both sizes
+    # warm EVERY core's Python UDF worker (fork + pandas/numpy import is
+    # 1-3s each; a single-partition warm-up only spawns one) so the
+    # measurement is steady-state at both cluster sizes
     from mongo2neo_spark.operators import extract as _ex
 
-    _ex.mentions(_ex.extract(spark.read.parquet(args.input).limit(512))).count()
+    width = 4 * spark.sparkContext.defaultParallelism
+    warm = spark.read.parquet(args.input).limit(4096).repartition(width)
+    _ex.mentions(_ex.extract(warm)).count()
 
     cfg = PipelineConfig(n_buckets=args.buckets, salt=args.salt, run_id="job")
     t0 = time.monotonic()

@@ -503,6 +503,17 @@ def minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_components(docs, "text", "doc_id", threshold=0.5)
 
 
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering (LSH blocking + exact cosine
+    verify + min-id CC).  threshold=0.4 exercises clustering on the
+    synthetic embeddings (whose strongest neighbors sit near cos 0.45);
+    real dedup runs use ~0.9."""
+    from mongo2neo_spark.operators.similarity import embedding_dedup_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_components(emb, threshold=0.4)
+
+
 def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2neo_spark.operators.dedup import simhash_groups
 
@@ -637,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_lsh_recall": ann_lsh_recall,
         "minhash_doc_clusters": minhash_doc_clusters,
+        "embedding_dedup_clusters": embedding_dedup_clusters,
         "simhash_doc_signatures": simhash_doc_signatures,
         "doc_fingerprints": doc_fingerprints,
         "kg_triples_synthetic": kg_triples_synthetic,
@@ -674,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         # check, not a rows-only count (mongo2neo_spark/entry_oracle.py)
         "ann_lsh_recall": _ANN_LSH_RECALL_SQL,
         "minhash_doc_clusters": _eo().minhash_clusters_sql(),
+        "embedding_dedup_clusters": _eo().embedding_clusters_sql(),
         "simhash_doc_signatures": _eo().simhash_sql(),
         "doc_fingerprints": _eo().fingerprints_sql(),
         "kg_triples_synthetic": _eo().kg_triples_sql(),

@@ -72,7 +72,9 @@ def main() -> None:
     from mongo2neo_spark.operators import link as _lk
     from mongo2neo_spark.operators import materialize as _mt
 
-    warm = spark.read.parquet(tpath).limit(512)
+    warm = spark.read.parquet(tpath).limit(4096).repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
     wm = _ex.mentions(_ex.extract(warm)).persist()
     _mt.canonical_names(wm, _mt.norm_components(wm)).count()
     wm.unpersist()

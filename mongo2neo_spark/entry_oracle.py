@@ -154,6 +154,62 @@ def kg_triple_rows(n_convs: int = 10, seed: int = 11,
     return sorted(oracle.pipeline_triples(rows))
 
 
+def embedding_cluster_rows(
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    sf_dir: str | None = None,
+) -> List[tuple]:
+    """Expected (id, component) rows of
+    operators.similarity.embedding_dedup_components on the embeddings
+    table.  The hyperplane family is deterministic (seed 1337, matching
+    similarity._PLANE_SEED), so this numpy replica produces the exact
+    same buckets -> candidate pairs -> cosine-verified min-id clusters."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir or ORACLE_SF_DIR}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = [int(i) for i in t["vec_id"].to_pylist()]
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(1337)
+    planes = rng.standard_normal((n_tables * n_planes, vecs.shape[1]))
+    signs = (vecs @ planes.T) > 0
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    vals = signs.reshape(len(vecs), n_tables, n_planes) @ weights
+    buckets: dict = defaultdict(list)
+    for i, row in zip(ids, vals):
+        for tbl, bk in enumerate(row):
+            buckets[(tbl, int(bk))].append(i)
+    pairs = set()
+    for members in buckets.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                pairs.add((a, b) if a < b else (b, a))
+    id2row = {i: k for k, i in enumerate(ids)}
+    norms = np.linalg.norm(vecs, axis=1)
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        ra_, rb_ = id2row[a], id2row[b]
+        cos = float(vecs[ra_] @ vecs[rb_]) / float(norms[ra_] * norms[rb_])
+        if cos >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    return [(i, find(i)) for i in sorted(ids)]
+
+
 def multimodal_rows(n: int = 64) -> List[tuple]:
     """Expected (media_id, kind, n_bytes) of multimodal.extract_features
     over synthesize_media(n): kinds cycle image/audio/video and content
@@ -185,6 +241,13 @@ def kg_triples_sql() -> str:
     return values_sql(
         kg_triple_rows(),
         [("subj", "VARCHAR"), ("pred", "VARCHAR"), ("obj", "VARCHAR")],
+    )
+
+
+def embedding_clusters_sql() -> str:
+    return values_sql(
+        embedding_cluster_rows(),
+        [("id", "BIGINT"), ("component", "BIGINT")],
     )
 
 

@@ -160,6 +160,57 @@ def lsh_bucketed_topk(
     )
 
 
+def embedding_dedup_components(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup clustering: (id, component).
+
+    Hyperplane-LSH blocking (same deterministic plane family as the ANN
+    path) -> candidate pairs within any table's bucket -> exact JVM-side
+    cosine verify at ``threshold`` -> min-id connected components.
+    Shuffle discipline mirrors the text near-dup path: the bucket
+    stream is (id, tbl, bucket) — vectors rejoin only for surviving
+    candidate pairs.  Deterministic planes mean a pure-Python oracle
+    reproduces the exact same clusters (parity by construction).
+    """
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    buckets = hyperplane_buckets_udf(dim, n_planes, n_tables)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    bx = base.select(
+        "id", F.posexplode(buckets(F.col("_v"))).alias("tbl", "bucket")
+    )
+    a = bx.select(F.col("id").alias("a_id"), "tbl", "bucket")
+    b = bx.select(F.col("id").alias("b_id"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    with_vecs = pairs.join(
+        base.select(F.col("id").alias("a_id"), F.col("_v").alias("a_v")), "a_id"
+    ).join(
+        base.select(F.col("id").alias("b_id"), F.col("_v").alias("b_v")), "b_id"
+    )
+    verified = with_vecs.withColumn(
+        "cos", _cosine(F.col("a_v"), F.col("b_v"))
+    ).filter(F.col("cos") >= threshold)
+    edges = verified.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    from . import cc as cc_mod
+
+    return cc_mod.connected_components_auto(edges, base.select("id"))
+
+
 def ann_recall(
     corpus: DataFrame,
     queries: DataFrame,

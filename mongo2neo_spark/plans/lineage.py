@@ -106,14 +106,20 @@ def observe_bucket_metrics(df: DataFrame, buckets: Sequence[int],
     """
     from pyspark.sql import Observation
 
-    h = F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+    # hash each row ONCE into a hidden column — referencing the xxhash64
+    # expression inside every per-bucket conditional aggregate would
+    # recompute it |buckets| times per row (no CSE across agg buffers)
+    hcol = "_lineage_h"
+    df = df.withColumn(
+        hcol, F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+    )
     b_col = F.col(bucket_col)
     aggs = []
     for b in buckets:
         aggs.append(F.count(F.when(b_col == b, 1)).alias(f"n_{b}"))
-        aggs.append(F.sum(F.when(b_col == b, h)).alias(f"c_{b}"))
+        aggs.append(F.sum(F.when(b_col == b, F.col(hcol))).alias(f"c_{b}"))
     obs = Observation(f"lineage_{buckets[0]}_{buckets[-1]}")
-    return obs, df.observe(obs, *aggs)
+    return obs, df.observe(obs, *aggs).drop(hcol)
 
 
 def observe_table_metrics(df: DataFrame):

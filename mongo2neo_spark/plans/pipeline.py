@@ -234,7 +234,14 @@ def _stage_materialize(spark, paths, cfg, resume) -> None:
         m2nio.write_table(
             mat_mod.edges(resolved(), cfg.max_provenance), paths["edges"]
         )
-        obs, triples_df = lin.observe_table_metrics(mat_mod.triples(resolved()))
+        # the edges table already has EXACTLY one row per distinct
+        # (subj, pred, obj) — the triples set is a projection of it, so
+        # derive it from the (small) written edges table instead of
+        # re-deriving + re-shuffling the full resolved stream a second
+        # time for a distinct
+        obs, triples_df = lin.observe_table_metrics(
+            spark.read.parquet(paths["edges"]).select("subj", "pred", "obj")
+        )
         m2nio.write_table(triples_df, paths["triples"])
         stats.unpersist()
         n2e.unpersist()

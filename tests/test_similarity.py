@@ -76,6 +76,35 @@ def test_infer_dim(spark, emb_df):
     assert similarity.infer_dim(df) == vecs.shape[1]
 
 
+def test_embedding_dedup_clusters_near_duplicates(spark):
+    """Identical and nearly-identical vectors must cluster (same bucket
+    in every table, cosine ~1); orthogonal-ish vectors must not."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 1e-3
+    far = rng.standard_normal(16)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                [float(x) for x in base],
+                [float(x) for x in base],
+                [float(x) for x in near],
+                [float(x) for x in far],
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    comp = {
+        r.id: r.component
+        for r in similarity.embedding_dedup_components(
+            df, threshold=0.99
+        ).collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3
+
+
 def test_self_excluded(spark, emb_df):
     df, _ = emb_df
     out = similarity.brute_force_topk(df, df.filter("vec_id < 3"), k=5).collect()
