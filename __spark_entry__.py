@@ -582,6 +582,41 @@ FROM events GROUP BY user_id
 """
 
 
+def asof_click_to_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom temporal operator, single window pass — no
+    range join): each click event annotated with the most recent signup
+    time at-or-before it for the same user; DuckDB's native ASOF JOIN is
+    the oracle."""
+    from mongo2neo_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts"
+    )
+    out = asof_join(clicks, signups, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("signup_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+        .cast("long")
+        .alias("lag_sec"),
+    )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, r.ts AS signup_ts,
+       CAST(date_diff('second', r.ts, l.ts) AS BIGINT) AS lag_sec
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def rms_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 grouped-agg pandas UDAF: per-language root-mean-square document
     length.  The UDAF accumulates the square-sum in exact Python integers
@@ -655,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "events_type_map": events_type_map,
         "rms_chars_by_lang": rms_chars_by_lang,
+        "asof_click_to_signup": asof_click_to_signup,
     }
 
 
@@ -693,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _eo().multimodal_sql(),
         "events_type_map": _EVENTS_TYPE_MAP_SQL,
         "rms_chars_by_lang": _RMS_CHARS_SQL,
+        "asof_click_to_signup": _ASOF_SQL,
     }
 
 

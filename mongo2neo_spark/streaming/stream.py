@@ -106,6 +106,75 @@ def start_extraction_stream(
     return writer.start()
 
 
+def windowed_turn_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation: turns per (window, role).
+
+    The watermark bounds state: a turn later than ``watermark`` behind
+    the max seen event time is dropped from the aggregation rather than
+    growing state forever — the standard late-data trade for unbounded
+    streams.  In append mode a window emits once, when the watermark
+    passes its end.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+CONV_STATS_STATE = "n_turns long, max_ts timestamp"
+CONV_STATS_OUTPUT = "conv_id string, n_turns long, max_ts timestamp"
+
+
+def conversation_stats_stateful(stream: DataFrame, timeout: str = "NoTimeout"):
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-conversation turn counter + latest event time, carried across
+    micro-batches in explicit GroupState (the escape hatch for stateful
+    logic the built-in windowed aggregates can't express).
+
+    Emits one updated row per conversation per micro-batch (update
+    mode).  State is two scalars per conv_id — bounded by the number of
+    live conversations, the right state budget at 10^12-turn scale.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n = 0
+        max_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf["ts"].max()
+            if max_ts is None or (m is not None and m > max_ts):
+                max_ts = m
+        if state.exists:
+            (prev_n, prev_ts) = state.get
+            n += prev_n
+            if prev_ts is not None and (max_ts is None or prev_ts > max_ts):
+                max_ts = prev_ts
+        state.update((n, max_ts))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n], "max_ts": [max_ts]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=CONV_STATS_OUTPUT,
+        stateStructType=CONV_STATS_STATE,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
 def foreach_batch_pipeline(spark, source_dir: str, out_dir: str,
                            checkpoint_dir: str):
     """Demo wiring: stream micro-batches through the batch materializer.

@@ -66,6 +66,82 @@ def test_read_streamed_extracted_dedups_cross_batch(spark, small_rows, tmp_path)
     assert got == ref
 
 
+def test_windowed_turn_counts_matches_batch(spark, small_rows, stream_dirs):
+    """Stream (availableNow, complete-to-memory) == batch groupBy over
+    the same tumbling windows."""
+    from pyspark.sql import functions as F
+
+    tmp = stream_dirs
+    stream = streaming.read_transcript_stream(spark, str(tmp / "in"))
+    q = (
+        streaming.windowed_turn_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp / "ck_win"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win_start, r.win_end, r.role): r.n_turns
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # batch reference: same windows over the raw (non-deduped) file input
+    # — the streamed source re-delivered some rows, and the watermarked
+    # agg deliberately counts rows, not distinct turns, so the batch side
+    # must see the same physical rows
+    batch = (
+        spark.read.parquet(str(tmp / "in"))
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "role")
+        .agg(F.count("*").alias("n"))
+    )
+    ref = {
+        (r.win.start, r.win.end, r.role): r.n for r in batch.collect()
+    }
+    # append mode only emits windows the watermark has passed; every
+    # emitted window must match the batch count exactly
+    assert got
+    for k, v in got.items():
+        assert ref.get(k) == v
+
+
+def test_stateful_conversation_stats(spark, small_rows, tmp_path):
+    """applyInPandasWithState running counter == batch groupBy result
+    (final state after one availableNow pass)."""
+    pdf = fixtures.turns_to_pandas(small_rows)
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "in"))
+    stream = streaming.read_transcript_stream(spark, str(tmp_path / "in"))
+    q = (
+        streaming.conversation_stats_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("conv_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT conv_id, n_turns, max_ts FROM conv_stats"
+    ).collect()
+    # keep the LAST update per conv (update mode may emit per micro-batch)
+    got = {}
+    for r in rows:
+        prev = got.get(r.conv_id)
+        if prev is None or r.n_turns >= prev[0]:
+            got[r.conv_id] = (r.n_turns, r.max_ts)
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(str(tmp_path / "in"))
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("ts").alias("m"))
+    )
+    ref = {r.conv_id: (r.n, r.m) for r in batch.collect()}
+    assert got == ref
+
+
 def test_foreach_batch_pipeline(spark, small_rows, tmp_path):
     pdf = fixtures.turns_to_pandas(small_rows)
     spark.createDataFrame(pdf).write.parquet(str(tmp_path / "in"))
