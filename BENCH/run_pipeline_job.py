@@ -21,7 +21,6 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=32)
-    ap.add_argument("--salt", type=int, default=8)
     args = ap.parse_args()
 
     from mongo2neo_spark.plans.pipeline import PipelineConfig, run_pipeline
@@ -52,7 +51,7 @@ def main() -> None:
     warm = spark.read.parquet(args.input).limit(4096).repartition(width)
     _ex.mentions(_ex.extract(warm)).count()
 
-    cfg = PipelineConfig(n_buckets=args.buckets, salt=args.salt, run_id="job")
+    cfg = PipelineConfig(n_buckets=args.buckets, run_id="job")
     t0 = time.monotonic()
     paths = run_pipeline(spark, args.input, args.out, cfg, resume=False)
     wall = time.monotonic() - t0

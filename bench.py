@@ -95,7 +95,7 @@ def main() -> None:
 
         out_dir = tempfile.mkdtemp(prefix="m2n_bench_out_")
         # 16 buckets ≈ right-sized lineage granularity for this volume
-        cfg = PipelineConfig(n_buckets=16, salt=8, run_id=f"bench{i}")
+        cfg = PipelineConfig(n_buckets=16, run_id=f"bench{i}")
         paths = run_pipeline(spark, tpath, f"{out_dir}/kg", cfg, resume=False)
         spark.read.parquet(paths["triples"]).count()
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -38,7 +38,6 @@ from . import lineage as lin
 @dataclass
 class PipelineConfig:
     n_buckets: int = 64          # extraction lineage/resume granularity
-    salt: int = skew_mod.DEFAULT_SALT
     band_cap: int = hashing.BAND_CAP
     threshold: float = rules.LINK_THRESHOLD
     max_provenance: int = mat_mod.MAX_PROVENANCE
@@ -262,14 +261,13 @@ def main(argv=None) -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default=None)
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--salt", type=int, default=skew_mod.DEFAULT_SALT)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
     spark = get_spark(
         master=args.master, shuffle_partitions=args.shuffle_partitions
     )
-    cfg = PipelineConfig(n_buckets=args.buckets, salt=args.salt)
+    cfg = PipelineConfig(n_buckets=args.buckets)
     paths = run_pipeline(spark, args.input, args.out, cfg, resume=not args.no_resume)
     n = spark.read.parquet(paths["triples"]).count()
     print(f"pipeline complete: {n} distinct triples -> {args.out}")

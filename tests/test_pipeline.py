@@ -54,17 +54,27 @@ def test_lineage_shape(spark, pipeline_out):
     assert lin_df.filter("stage = 'extract'").count() == 8
 
 
-def test_salt_invariance(spark, small_rows, tmp_path):
-    """Same triple set at different salt levels (K1 losslessness)."""
-    df = fixtures.turns_to_pandas(small_rows)
-    spark.createDataFrame(df).write.parquet(str(tmp_path / "in"))
+def test_salt_invariance(spark, small_rows):
+    """K1 losslessness: the salted repartition changes only the physical
+    distribution, never the triple set — identical output at SALT∈{1,8}
+    through the composed operator path.  (The pipeline itself now gets
+    the same spreading effect from fine-grained keys + AQE rebalance;
+    salted_repartition remains the manual K1 operator for conv-hot UDF
+    stages.)"""
+    from mongo2neo_spark.operators import extract, ingest, materialize, skew
+
+    df = spark.createDataFrame(fixtures.turns_to_pandas(small_rows))
     outs = []
-    for salt in (1, 4):
-        cfg = PipelineConfig(n_buckets=4, salt=salt, run_id=f"s{salt}")
-        paths = run_pipeline(
-            spark, str(tmp_path / "in"), str(tmp_path / f"out{salt}"), cfg
+    for salt in (1, 8):
+        turns = skew.salted_repartition(ingest.ingest(df), 8, salt=salt)
+        ex = extract.extract(turns)
+        ments = extract.mentions(ex)
+        comp = materialize.norm_components(ments)
+        canon = materialize.canonical_names(ments, comp)
+        t = materialize.triples(
+            materialize.resolve_triples(extract.raw_triples(ex), comp, canon)
         )
-        outs.append(_triples(spark, paths))
+        outs.append({tuple(r) for r in t.collect()})
     assert outs[0] == outs[1]
 
 
