@@ -503,6 +503,29 @@ def minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_components(docs, "text", "doc_id", threshold=0.5)
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic spherical-k-means coarse quantizer, probe
+    top-n cells) gated on measured MEAN recall@10 >= 0.9 vs brute force.
+    On these weakly-clustered synthetic embeddings that takes probing
+    6/8 cells — the recall meter makes the data-dependent trade visible
+    instead of hiding it."""
+    from mongo2neo_spark.operators.similarity import ivf_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rec = ivf_recall(emb, emb.filter("vec_id < 5"), k=10,
+                     n_centroids=8, n_probe=6)
+    return rec.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        (F.avg("recall") >= 0.9).alias("mean_recall_ok"),
+    )
+
+
+_ANN_IVF_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clustering (LSH blocking + exact cosine
     verify + min-id CC).  threshold=0.4 exercises clustering on the
@@ -682,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": lang_id_documents,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_lsh_recall": ann_lsh_recall,
+        "ann_ivf_recall": ann_ivf_recall,
         "minhash_doc_clusters": minhash_doc_clusters,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "simhash_doc_signatures": simhash_doc_signatures,
@@ -721,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         # it as a DuckDB VALUES query — a hard row-count/schema/value-hash
         # check, not a rows-only count (mongo2neo_spark/entry_oracle.py)
         "ann_lsh_recall": _ANN_LSH_RECALL_SQL,
+        "ann_ivf_recall": _ANN_IVF_SQL,
         "minhash_doc_clusters": _eo().minhash_clusters_sql(),
         "embedding_dedup_clusters": _eo().embedding_clusters_sql(),
         "simhash_doc_signatures": _eo().simhash_sql(),

@@ -160,6 +160,158 @@ def lsh_bucketed_topk(
     )
 
 
+_IVF_SEED = 7
+
+
+def _spherical_kmeans(vecs, n_centroids: int, iters: int = 10,
+                      seed: int = _IVF_SEED):
+    """Deterministic spherical k-means (cosine assignment, renormalized
+    mean update) on a numpy sample — the IVF coarse quantizer."""
+    import numpy as np
+
+    v = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    # deterministic farthest-point init (k-means++ flavor without the
+    # randomized D² sampling): spreads seeds across well-separated
+    # clusters instead of risking two seeds collapsing into one
+    chosen = [0]
+    best_sim = v @ v[0]
+    while len(chosen) < n_centroids:
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, v @ v[nxt])
+    c = v[np.array(chosen)].copy()
+    for _ in range(iters):
+        assign = (v @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = v[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    c[j] = m / n
+    return c
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _IVF_SEED,
+):
+    """Driver-side quantizer training on a deterministic, bounded sample
+    (orderBy(id).limit — stable across runs and partitionings).  The
+    centroid matrix is tiny (n_centroids × dim) and broadcasts into the
+    assignment UDF; at 100 TB the sample collect is the only driver
+    transfer and stays a few MB."""
+    import numpy as np
+
+    pdf = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
+    vecs = np.vstack(pdf[vec_col].to_numpy())
+    return _spherical_kmeans(vecs, n_centroids, seed=seed)
+
+
+def _centroid_assign_udf(centroids, n_probe: int):
+    """embedding -> array of the n_probe nearest centroid ids (by cosine)."""
+    import numpy as np
+
+    c = centroids  # (K, dim), unit norm
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            m = np.vstack(vecs.to_numpy())
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ c.T  # (n, K)
+            top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+            yield pd.Series(list(top))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single nearest
+    centroid's inverted list; each query probes its ``n_probe`` nearest
+    centroids and ranks only those lists by exact cosine.
+
+    Plan shape mirrors the LSH path: the corpus is scanned once and
+    never shuffled (queries broadcast onto the centroid-id equi join);
+    probing more centroids trades compute for recall — measure with
+    :func:`ann_recall`-style gating (``ivf_recall``).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    c_assign = _centroid_assign_udf(centroids, 1)
+    q_assign = _centroid_assign_udf(centroids, n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("cell", F.element_at(c_assign(F.col("_cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    qx = q.select(
+        "query_id", "_qv", F.explode(q_assign(F.col("_qv"))).alias("cell")
+    )
+    cand = c.join(F.broadcast(qx), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ivf_kwargs,
+) -> DataFrame:
+    """Per-query recall@k of the IVF path vs exact brute force."""
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    approx = ivf_topk(corpus, queries, k, id_col=id_col,
+                      vec_col=vec_col, **ivf_kwargs)
+    hit = F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0)
+    joined = exact.select("query_id", "neighbor_id").join(
+        approx.select(
+            "query_id", "neighbor_id", F.col("rank").alias("hit_rank")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(hit).cast("long").alias("n_hit"),
+        F.round(F.sum(hit) / F.count("*"), 6).alias("recall"),
+    )
+
+
 def embedding_dedup_components(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -76,6 +76,39 @@ def test_infer_dim(spark, emb_df):
     assert similarity.infer_dim(df) == vecs.shape[1]
 
 
+def test_ivf_recall_perfect_on_clustered_data(spark):
+    """When embeddings actually cluster (the real-encoder case), IVF
+    with probe=1 finds every true neighbor: each cluster maps onto one
+    centroid cell."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((3, 16)) * 10
+    vecs, ids = [], []
+    for i in range(60):
+        c = centers[i % 3]
+        vecs.append([float(x) for x in c + rng.standard_normal(16) * 0.05])
+        ids.append(i)
+    df = spark.createDataFrame(pd.DataFrame({"vec_id": ids, "embedding": vecs}))
+    rec = similarity.ivf_recall(
+        df, df.filter("vec_id < 6"), k=5, n_centroids=3, n_probe=1
+    ).collect()
+    assert all(r.recall == 1.0 for r in rec)
+
+
+def test_ivf_results_are_exact_cosines(spark, emb_df):
+    df, vecs = emb_df
+    out = similarity.ivf_topk(
+        df, df.filter("vec_id < 3"), k=5, n_centroids=4, n_probe=2
+    ).collect()
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    assert out
+    for r in out:
+        cos = float(v[r.query_id] @ v[r.neighbor_id]
+                    / (norms[r.query_id] * norms[r.neighbor_id]))
+        assert r.cos == pytest.approx(cos, abs=1e-9)
+        assert r.query_id != r.neighbor_id
+
+
 def test_embedding_dedup_clusters_near_duplicates(spark):
     """Identical and nearly-identical vectors must cluster (same bucket
     in every table, cosine ~1); orthogonal-ish vectors must not."""
