@@ -139,6 +139,7 @@ def connected_components_star(
     cur = _materialize(_canon(edges))
     handle = cur
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         nxt = _materialize(_canon(_small_star(_large_star(cur))))
         row = nxt.agg(
@@ -146,12 +147,29 @@ def connected_components_star(
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("c"),
         ).collect()[0]
         sig = (row.n, row.c)
+        if sig == prev_sig:
+            # the (count, hash-sum) signature is the cheap screen; confirm
+            # the fixed point EXACTLY before trusting it, so the
+            # correctness argument doesn't rest on a hash.  Counts are
+            # equal (part of the signature), so one-directional
+            # exceptAll-empty implies multiset equality; both frames are
+            # checkpointed+persisted, making the diff cheap.
+            if nxt.exceptAll(handle).isEmpty():
+                handle.unpersist()
+                handle = nxt
+                cur = nxt
+                converged = True
+                break
         handle.unpersist()
         handle = nxt
         cur = nxt
-        if sig == prev_sig:
-            break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: edge set did not reach a fixed "
+            f"point within {max_iterations} rounds — raise max_iterations "
+            f"(graph needs O(log^2 n) rounds)"
+        )
     # converged star state: every edge is (child, root) with root < child
     mapping = cur.groupBy("src").agg(F.min("dst").alias("component"))
     out = (

@@ -116,11 +116,12 @@ def resolve_triples(raw_triples: DataFrame, components: DataFrame = None,
 def edges(resolved: DataFrame, max_provenance: int = MAX_PROVENANCE) -> DataFrame:
     """A1: weighted edges with bounded, deterministically-ordered provenance.
 
-    Provenance is capped BEFORE aggregation (row_number window), so a hot
-    triple never materializes an unbounded collect_list on one task —
-    collect-then-slice is a memory bomb at 10^12-turn scale.  The weight
-    count is a separate partial-aggregated (map-side combined) pass, which
-    hot keys don't hurt.
+    One shuffle total: the row_number window hash-partitions by the edge
+    key, and the groupBy below reuses that partitioning (Catalyst plans
+    no second exchange).  Weight comes free as max(row_number), and
+    collect_list only keeps rows at or under the provenance cap — so a
+    hot triple never materializes an unbounded list on one task
+    (collect-then-slice is a memory bomb at 10^12-turn scale).
     """
     keys = ["subj", "pred", "obj"]
     w = Window.partitionBy(*keys).orderBy("conv_id", "turn_idx")

@@ -160,11 +160,7 @@ def lsh_bucketed_topk(
     )
 
 
-_IVF_SEED = 7
-
-
-def _spherical_kmeans(vecs, n_centroids: int, iters: int = 10,
-                      seed: int = _IVF_SEED):
+def _spherical_kmeans(vecs, n_centroids: int, iters: int = 10):
     """Deterministic spherical k-means (cosine assignment, renormalized
     mean update) on a numpy sample — the IVF coarse quantizer."""
     import numpy as np
@@ -198,7 +194,6 @@ def train_ivf_centroids(
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = _IVF_SEED,
 ):
     """Driver-side quantizer training on a deterministic, bounded sample
     (orderBy(id).limit — stable across runs and partitionings).  The
@@ -214,7 +209,9 @@ def train_ivf_centroids(
         .toPandas()
     )
     vecs = np.vstack(pdf[vec_col].to_numpy())
-    return _spherical_kmeans(vecs, n_centroids, seed=seed)
+    # no seed parameter: determinism comes from the farthest-point init
+    # and the stable sample order, not from any RNG
+    return _spherical_kmeans(vecs, n_centroids)
 
 
 def _centroid_assign_udf(centroids, n_probe: int):

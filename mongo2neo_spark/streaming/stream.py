@@ -70,9 +70,21 @@ def read_streamed_extracted(spark: SparkSession, path: str):
     ``dropDuplicatesWithinWatermark`` only guards duplicates arriving
     inside the watermark; a turn replayed later lands as a second
     appended row.  Batch consumers (canonicalize/materialize) MUST read
-    through this helper — the deterministic min-struct survivor matches
-    the batch pipeline's P3 semantics, so streamed-then-batch and pure
-    batch runs emit identical triples.
+    through this helper.
+
+    Survivor semantics: deterministic min-struct over the extraction
+    table's own columns (ts, then the extraction struct).  An EXACT
+    replay (same payload, re-delivered) collapses to the identical row a
+    pure batch run would keep.  A CONFLICTING duplicate — same
+    (conv_id, turn_idx) with a different payload — picks a deterministic
+    survivor, but not necessarily the same one batch P3 elects (P3
+    orders by (role, text, tool, ts), and role/text/tool no longer
+    exist post-extraction; carrying them through the extraction table
+    just to replicate that order for a malformed-input case would widen
+    every row).  Conflicting turn payloads are a producer bug; the
+    guarantee here is determinism, not cross-path survivor identity —
+    tests/test_streaming.py::test_read_streamed_extracted_conflicting_duplicate
+    pins this behavior.
     """
     df = spark.read.parquet(path)
     others = [c for c in df.columns if c not in ("conv_id", "turn_idx")]

@@ -66,6 +66,48 @@ def test_read_streamed_extracted_dedups_cross_batch(spark, small_rows, tmp_path)
     assert got == ref
 
 
+def test_read_streamed_extracted_conflicting_duplicate(spark, tmp_path):
+    """Documented semantics for CONFLICTING duplicates (same (conv_id,
+    turn_idx), different payload — a producer bug): the survivor is the
+    deterministic min over the extraction table's own columns (ts, then
+    extraction struct), independent of arrival order.  This is NOT
+    guaranteed to equal the batch-P3 survivor (which orders by role/
+    text/tool, gone post-extraction) — see read_streamed_extracted's
+    docstring."""
+    import pandas as pd
+
+    a = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["Alice Smith works at Acme Corp ."],
+            "tool": [None],
+            "ts": [pd.Timestamp("2026-01-01 00:00:05")],
+        }
+    )
+    b = a.copy()
+    b["text"] = ["Bob Jones lives in Paris ."]
+    b["ts"] = [pd.Timestamp("2026-01-01 00:00:01")]  # earlier ts wins
+
+    ex_a = extract.extract(spark.createDataFrame(a))
+    ex_b = extract.extract(spark.createDataFrame(b))
+    # arrival order 1: a then b
+    ex_a.write.parquet(str(tmp_path / "e1"), mode="append")
+    ex_b.write.parquet(str(tmp_path / "e1"), mode="append")
+    # arrival order 2: b then a
+    ex_b.write.parquet(str(tmp_path / "e2"), mode="append")
+    ex_a.write.parquet(str(tmp_path / "e2"), mode="append")
+
+    r1 = streaming.read_streamed_extracted(spark, str(tmp_path / "e1")).collect()
+    r2 = streaming.read_streamed_extracted(spark, str(tmp_path / "e2")).collect()
+    assert len(r1) == len(r2) == 1
+    assert r1 == r2  # arrival-order independent
+    # min-struct survivor: the earlier-ts payload
+    norms = {(r.conv_id, r.turn_idx, tuple(r.ex.m_norm)) for r in r1}
+    assert norms == {("c1", 0, ("bob jones", "paris"))}
+
+
 def test_windowed_turn_counts_matches_batch(spark, small_rows, stream_dirs):
     """Stream (availableNow, complete-to-memory) == batch groupBy over
     the same tumbling windows."""
