@@ -46,20 +46,41 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
 
+    def node_id(prefix, key):
+        return F.concat_ws(":", F.lit(prefix), F.col(key).cast("string"))
+
     def edge(df, src_prefix, src_key, rel, dst_prefix, dst_key):
         return df.select(
-            F.concat_ws(":", F.lit(src_prefix), F.col(src_key).cast("string")).alias("src"),
+            node_id(src_prefix, src_key).alias("src"),
             F.lit(rel).alias("rel_type"),
-            F.concat_ws(":", F.lit(dst_prefix), F.col(dst_key).cast("string")).alias("dst"),
+            node_id(dst_prefix, dst_key).alias("dst"),
         )
 
+    # lineitem (the largest input by far) is scanned ONCE: each row emits
+    # both its CONTAINS and SUPPLIES edges via inline of a 2-struct array
+    # — halving the biggest table's IO vs two per-edge-type passes
+    li_edges = lineitem.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    node_id("order", "l_orderkey").alias("src"),
+                    F.lit("CONTAINS").alias("rel_type"),
+                    node_id("part", "l_partkey").alias("dst"),
+                ),
+                F.struct(
+                    node_id("supplier", "l_suppkey").alias("src"),
+                    F.lit("SUPPLIES").alias("rel_type"),
+                    node_id("part", "l_partkey").alias("dst"),
+                ),
+            )
+        )
+    )
     edges = (
         edge(customer, "customer", "c_custkey", "LOCATED_IN", "nation", "c_nationkey")
         .unionByName(edge(supplier, "supplier", "s_suppkey", "LOCATED_IN", "nation", "s_nationkey"))
         .unionByName(edge(nation, "nation", "n_nationkey", "PART_OF", "region", "n_regionkey"))
         .unionByName(edge(orders, "order", "o_orderkey", "PLACED_BY", "customer", "o_custkey"))
-        .unionByName(edge(lineitem, "order", "l_orderkey", "CONTAINS", "part", "l_partkey"))
-        .unionByName(edge(lineitem, "supplier", "l_suppkey", "SUPPLIES", "part", "l_partkey"))
+        .unionByName(li_edges)
     )
     # MERGE semantics: distinct (src, rel_type, dst) set
     return edges.dropDuplicates(["src", "rel_type", "dst"])

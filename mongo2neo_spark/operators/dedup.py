@@ -80,6 +80,39 @@ def _shingle_jaccard_udf(
         yield pd.Series(out, dtype="float64")
 
 
+def word_shingles_col(text, n: int = 3):
+    """JVM-side word-``n``-shingle SET of a text column — the exact
+    column-expression mirror of :func:`_word_shingles` (split on
+    whitespace runs, short texts collapse to one joined shingle, empty
+    text to the empty set).  Pure built-ins: transform/sequence/slice/
+    array_join/array_distinct, all inside whole-stage codegen."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    toks = F.split(t, r"\s+")
+    empty = F.array().cast("array<string>")
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        F.when(F.length(t) == 0, empty)
+        .when(F.size(toks) < n, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array_distinct(joined))
+    )
+
+
+def shingle_jaccard_col(a_text, b_text, n: int = 3):
+    """Exact word-shingle jaccard of two text columns, fully JVM-side
+    (array_intersect/array_union sizes) — same values as
+    :func:`_shingle_jaccard_udf` (integer set sizes, one IEEE division),
+    with zero Python in the verify stage."""
+    sa, sb = word_shingles_col(a_text, n), word_shingles_col(b_text, n)
+    u = F.size(F.array_union(sa, sb))
+    i = F.size(F.array_intersect(sa, sb))
+    return F.when(u == 0, F.lit(1.0)).otherwise(
+        i.cast("double") / u.cast("double")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -115,6 +148,7 @@ def minhash_dedup_components(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     band_cap: int = hashing.BAND_CAP,
+    verify: str = "jvm",
 ) -> DataFrame:
     """(id, component) near-dup clusters: MinHash over word-3-shingles,
     LSH banding, exact jaccard verify at ``threshold``, CC.
@@ -125,6 +159,11 @@ def minhash_dedup_components(
     Texts rejoin for the *surviving candidate pairs* only, via two
     narrow id-keyed joins that AQE turns into broadcasts whenever the
     candidate set is small relative to the corpus.
+
+    ``verify="jvm"`` (default) computes the exact jaccard with built-in
+    array functions — no Python anywhere in the verify stage;
+    ``verify="python"`` keeps the Arrow-batched UDF (same values,
+    property-tested equal).
     """
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
@@ -135,9 +174,14 @@ def minhash_dedup_components(
     ).join(
         base.select(F.col("id").alias("b_id"), F.col("_t").alias("b_t")), "b_id"
     )
-    verified = with_texts.withColumn(
-        "jac", _shingle_jaccard_udf(F.col("a_t"), F.col("b_t"))
-    ).filter(F.col("jac") >= threshold)
+    jac = (
+        shingle_jaccard_col(F.col("a_t"), F.col("b_t"))
+        if verify == "jvm"
+        else _shingle_jaccard_udf(F.col("a_t"), F.col("b_t"))
+    )
+    verified = with_texts.withColumn("jac", jac).filter(
+        F.col("jac") >= threshold
+    )
     edges = verified.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     return cc_mod.connected_components_auto(edges, base.select("id"))
 

@@ -52,6 +52,47 @@ def test_minhash_dedup_identical_texts(spark):
     assert kept == [0]
 
 
+def test_jvm_shingle_jaccard_equals_python_spec(spark):
+    """The JVM-side verify (array_intersect/array_union over
+    transform-built shingle arrays) must produce bit-identical jaccard
+    values to the pure-Python spec, including the edge cases: empty
+    text, whitespace-only, fewer-than-n tokens, runs of whitespace."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "", "   ", "one", "one two", "one two three",
+        "one two three four five", "one  two\tthree  four",
+        "a b c d e f g", "a b c d e f g",
+    ]
+    pairs = [(a, b) for a in texts for b in texts]
+    df = spark.createDataFrame(
+        pd.DataFrame({"a_t": [p[0] for p in pairs],
+                      "b_t": [p[1] for p in pairs]})
+    )
+    out = df.select(
+        "a_t", "b_t",
+        dedup.shingle_jaccard_col(F.col("a_t"), F.col("b_t")).alias("jvm"),
+        dedup._shingle_jaccard_udf(F.col("a_t"), F.col("b_t")).alias("py"),
+    ).collect()
+    for r in out:
+        sa, sb = dedup._word_shingles(r.a_t), dedup._word_shingles(r.b_t)
+        u = len(sa | sb)
+        spec = len(sa & sb) / u if u else 1.0
+        assert r.jvm == r.py == spec, (r.a_t, r.b_t, r.jvm, r.py, spec)
+
+
+def test_minhash_components_jvm_matches_python_verify(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(58)) + " x1 x2"
+    other = " ".join(f"zzz{i}" for i in range(60))
+    df = _docs(spark, [base, near, other, base])
+    jvm = sorted(tuple(r) for r in
+                 dedup.minhash_dedup_components(df, verify="jvm").collect())
+    py = sorted(tuple(r) for r in
+                dedup.minhash_dedup_components(df, verify="python").collect())
+    assert jvm == py
+
+
 def test_simhash_components_cluster_hamming_close(spark):
     base = " ".join(f"w{i}" for i in range(200))
     near = " ".join(f"w{i}" for i in range(198)) + " q1 q2"
