@@ -517,6 +517,35 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH path's full approximate neighbor sets, hash-checked row by
+    row against a numpy replica (entry_oracle.ann_lsh_topk_rows — same
+    deterministic plane family) — the oracle pins (query, neighbor, rank)
+    exactly, not just the recall boolean (the recall gate stays as its
+    own entry)."""
+    from mongo2neo_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(emb, emb.filter("vec_id < 5"), k=10,
+                            n_planes=3, n_tables=16)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF path's full approximate neighbor sets vs the numpy replica
+    of the (deterministic) quantizer + probe assignment."""
+    from mongo2neo_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter("vec_id < 5"), k=10,
+                   n_centroids=8, n_probe=6)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2neo_spark.operators.dedup import minhash_dedup_components
 
@@ -727,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "minhash_doc_clusters": minhash_doc_clusters,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "simhash_doc_signatures": simhash_doc_signatures,
@@ -767,6 +798,8 @@ def oracle_sql() -> dict[str, str]:
         # check, not a rows-only count (mongo2neo_spark/entry_oracle.py)
         "ann_lsh_recall": _ANN_LSH_RECALL_SQL,
         "ann_ivf_recall": _ANN_IVF_SQL,
+        "ann_lsh_topk": _eo().ann_lsh_topk_sql(),
+        "ann_ivf_topk": _eo().ann_ivf_topk_sql(),
         "minhash_doc_clusters": _eo().minhash_clusters_sql(),
         "embedding_dedup_clusters": _eo().embedding_clusters_sql(),
         "simhash_doc_signatures": _eo().simhash_sql(),

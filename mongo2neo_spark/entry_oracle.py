@@ -210,6 +210,147 @@ def embedding_cluster_rows(
     return [(i, find(i)) for i in sorted(ids)]
 
 
+def _read_embeddings(sf_dir: str | None = None):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir or ORACLE_SF_DIR}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = [int(i) for i in t["vec_id"].to_pylist()]
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def _hyperplane_buckets(vecs, n_planes: int, n_tables: int):
+    """Numpy replica of similarity.hyperplane_buckets_udf (seed 1337 =
+    similarity._PLANE_SEED): (n, n_tables) bucket ids."""
+    import numpy as np
+
+    rng = np.random.default_rng(1337)
+    planes = rng.standard_normal((n_tables * n_planes, vecs.shape[1]))
+    signs = (vecs @ planes.T) > 0
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    return signs.reshape(len(vecs), n_tables, n_planes) @ weights
+
+
+def _rank_topk(ids, vecs, cand_ids_per_query, query_ids, k: int):
+    """(query_id, neighbor_id, rank) rows: exact cosine over each query's
+    candidate set, ranked (cos desc, neighbor_id asc) — the same ordering
+    the Spark window uses."""
+    import numpy as np
+
+    id2row = {i: r for r, i in enumerate(ids)}
+    norms = np.linalg.norm(vecs, axis=1)
+    out = []
+    for q in query_ids:
+        qr = id2row[q]
+        scored = []
+        for nid in cand_ids_per_query[q]:
+            if nid == q:
+                continue
+            nr = id2row[nid]
+            cos = float(vecs[qr] @ vecs[nr]) / float(norms[qr] * norms[nr])
+            scored.append((-cos, nid))
+        scored.sort()
+        for rank, (_negcos, nid) in enumerate(scored[:k], start=1):
+            out.append((q, nid, rank))
+    return sorted(out)
+
+
+def ann_lsh_topk_rows(
+    k: int = 10,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    max_query_id: int = 5,
+    sf_dir: str | None = None,
+) -> List[tuple]:
+    """Expected (query_id, neighbor_id, rank) of
+    similarity.lsh_bucketed_topk under the fixed plane seed: candidates
+    are corpus vectors sharing ANY table's bucket with the query, ranked
+    by exact cosine.  The full approximate neighbor SETS, not just the
+    recall boolean."""
+    ids, vecs = _read_embeddings(sf_dir)
+    buckets = _hyperplane_buckets(vecs, n_planes, n_tables)
+    table: dict = defaultdict(set)
+    for i, row in zip(ids, buckets):
+        for tbl, bk in enumerate(row):
+            table[(tbl, int(bk))].add(i)
+    query_ids = [i for i in ids if i < max_query_id]
+    id2row = {i: r for r, i in enumerate(ids)}
+    cands = {
+        q: set().union(
+            *(
+                table[(tbl, int(bk))]
+                for tbl, bk in enumerate(buckets[id2row[q]])
+            )
+        )
+        for q in query_ids
+    }
+    return _rank_topk(ids, vecs, cands, query_ids, k)
+
+
+def _spherical_kmeans_replica(vecs, n_centroids: int, iters: int = 10):
+    """Bitwise replica of similarity._spherical_kmeans (pure numpy, no
+    Spark import allowed here — same ops, same order, same dtypes)."""
+    import numpy as np
+
+    v = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    chosen = [0]
+    best_sim = v @ v[0]
+    while len(chosen) < n_centroids:
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, v @ v[nxt])
+    c = v[np.array(chosen)].copy()
+    for _ in range(iters):
+        assign = (v @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = v[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    c[j] = m / n
+    return c
+
+
+def ann_ivf_topk_rows(
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 6,
+    sample: int = 4096,
+    max_query_id: int = 5,
+    sf_dir: str | None = None,
+) -> List[tuple]:
+    """Expected (query_id, neighbor_id, rank) of similarity.ivf_topk:
+    deterministic spherical-k-means quantizer trained on the id-ordered
+    sample, corpus single-assigned, queries probe n_probe cells."""
+    import numpy as np
+
+    ids, vecs = _read_embeddings(sf_dir)
+    order = np.argsort(np.array(ids))
+    train = vecs[order[:sample]]
+    centroids = _spherical_kmeans_replica(train, n_centroids)
+    normed = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+    )
+    sims = normed @ centroids.T
+    cell = np.argsort(-sims, axis=1)[:, :1].astype(np.int32)[:, 0]
+    probes = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+    by_cell: dict = defaultdict(set)
+    for i, cl in zip(ids, cell):
+        by_cell[int(cl)].add(i)
+    query_ids = [i for i in ids if i < max_query_id]
+    id2row = {i: r for r, i in enumerate(ids)}
+    cands = {
+        q: set().union(*(by_cell[int(cl)] for cl in probes[id2row[q]]))
+        for q in query_ids
+    }
+    return _rank_topk(ids, vecs, cands, query_ids, k)
+
+
 def multimodal_rows(n: int = 64) -> List[tuple]:
     """Expected (media_id, kind, n_bytes) of multimodal.extract_features
     over synthesize_media(n): kinds cycle image/audio/video and content
@@ -248,6 +389,20 @@ def embedding_clusters_sql() -> str:
     return values_sql(
         embedding_cluster_rows(),
         [("id", "BIGINT"), ("component", "BIGINT")],
+    )
+
+
+def ann_lsh_topk_sql() -> str:
+    return values_sql(
+        ann_lsh_topk_rows(),
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("rank", "BIGINT")],
+    )
+
+
+def ann_ivf_topk_sql() -> str:
+    return values_sql(
+        ann_ivf_topk_rows(),
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("rank", "BIGINT")],
     )
 
 
