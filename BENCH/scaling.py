@@ -251,6 +251,21 @@ BENCH_r{{N}}.json; compare `value` (total wall sec, lower is better) and
 `kg_turns_per_sec` (higher is better) across rounds.
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the curation-scaling section (maintained by
+    # BENCH/curation_scaling.py) across regenerations
+    try:
+        with open(out) as f:
+            old = f.read()
+        if "<!-- CURATION_SCALING_BEGIN -->" in old:
+            sec = old.split("<!-- CURATION_SCALING_BEGIN -->")[1].split(
+                "<!-- CURATION_SCALING_END -->"
+            )[0]
+            md = (
+                md.rstrip() + "\n\n<!-- CURATION_SCALING_BEGIN -->" + sec
+                + "<!-- CURATION_SCALING_END -->\n"
+            )
+    except FileNotFoundError:
+        pass
     with open(out, "w") as f:
         f.write(md)
     print("wrote", out)

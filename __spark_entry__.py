@@ -618,6 +618,29 @@ def kg_triples_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize.triples(materialize.resolve_triples(raw, comp, canon))
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data curation pipeline (plans/curation.py):
+    profile -> exact dedup -> minhash near-dup -> quality/lang filter,
+    run end-to-end with per-bucket lineage and idempotent resume — the
+    same checkpoint plumbing as the KG pipeline.  The oracle combines
+    the pure-Python dedup-survivor replica (VALUES) with the exact
+    quality/lang SQL the per-operator entries validate."""
+    import tempfile
+
+    from mongo2neo_spark.plans.curation import CurationConfig, run_curation
+
+    out = tempfile.mkdtemp(prefix="m2n_curation_")
+    paths = run_curation(
+        spark, f"{sf_dir}/documents.parquet", f"{out}/cur",
+        CurationConfig(n_buckets=8), resume=False,
+    )
+    cur = spark.read.parquet(paths["curated"])
+    return cur.select(
+        "doc_id", "pred_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "quality",
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2neo_spark.operators.multimodal import extract_features, synthesize_media
 
@@ -763,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_doc_signatures": simhash_doc_signatures,
         "doc_fingerprints": doc_fingerprints,
         "kg_triples_synthetic": kg_triples_synthetic,
+        "curation_pipeline": curation_pipeline,
         "multimodal_features": multimodal_features,
         "events_type_map": events_type_map,
         "rms_chars_by_lang": rms_chars_by_lang,
@@ -805,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_doc_signatures": _eo().simhash_sql(),
         "doc_fingerprints": _eo().fingerprints_sql(),
         "kg_triples_synthetic": _eo().kg_triples_sql(),
+        "curation_pipeline": _eo().curation_sql(
+            _QUALITY_SQL, _lang_id_sql(), _TOKEN_COUNTS_SQL
+        ),
         "multimodal_features": _eo().multimodal_sql(),
         "events_type_map": _EVENTS_TYPE_MAP_SQL,
         "rms_chars_by_lang": _RMS_CHARS_SQL,

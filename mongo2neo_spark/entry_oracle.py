@@ -83,12 +83,17 @@ def minhash_cluster_rows(
     threshold: float = 0.5,
     band_cap: int = hashing.BAND_CAP,
     sf_dir: str | None = None,
+    docs: tuple | None = None,
 ) -> List[tuple]:
     """Expected (id, component) rows of
     operators.dedup.minhash_dedup_components on the documents table:
     word-3-shingle MinHash -> LSH bands (capped) -> candidate pairs ->
-    exact-jaccard verify -> min-id union-find."""
-    ids, texts = _read_docs(sf_dir)
+    exact-jaccard verify -> min-id union-find.
+
+    ``docs`` = (ids, texts) overrides the table read (used by the
+    curation-pipeline oracle, which runs this on the exact-dedup
+    survivors only)."""
+    ids, texts = docs if docs is not None else _read_docs(sf_dir)
     shingles = {int(i): _word_shingles(t) for i, t in zip(ids, texts)}
     buckets: dict = defaultdict(list)
     for i in sorted(shingles):
@@ -357,6 +362,67 @@ def multimodal_rows(n: int = 64) -> List[tuple]:
     length is 64 + (i % 5) * 32 bytes by construction."""
     kinds = ["image", "audio", "video"]
     return [(i, kinds[i % 3], 64 + (i % 5) * 32) for i in range(n)]
+
+
+def curation_survivor_rows(
+    threshold: float = 0.5,
+    band_cap: int = hashing.BAND_CAP,
+    sf_dir: str | None = None,
+) -> List[int]:
+    """doc_ids surviving the curation pipeline's dedup stages (exact ->
+    minhash near-dup), BEFORE the quality/lang filter — the filter is
+    SQL-expressible and applied in the rendered oracle query, reusing
+    the exact quality/lang SQL the green per-operator entries already
+    validate.
+
+    Exact: min doc_id per identical text.  Near-dup: min id per minhash
+    cluster over the exact survivors (same replica as
+    :func:`minhash_cluster_rows`)."""
+    ids, texts = _read_docs(sf_dir)
+    first: dict = {}
+    for i, t in sorted(zip(ids, texts)):
+        first.setdefault(t, int(i))
+    exact_ids = sorted(first.values())
+    by_id = dict(zip((int(i) for i in ids), texts))
+    comp = minhash_cluster_rows(
+        threshold, band_cap, docs=(exact_ids, [by_id[i] for i in exact_ids])
+    )
+    survivors: dict = {}
+    for i, c in comp:
+        survivors[c] = min(survivors.get(c, i), i)
+    return sorted(survivors.values())
+
+
+def curation_sql(
+    quality_sql: str,
+    lang_sql: str,
+    token_sql: str,
+    min_quality: float = 0.5,
+    langs: Sequence[str] = ("en",),
+    threshold: float = 0.5,
+) -> str:
+    """The full curation-pipeline oracle: dedup survivors from the
+    pure-Python replica as VALUES, quality/lang/token columns and the
+    final filter from the SAME SQL the per-operator entries validate
+    (passed in by __spark_entry__ so there is one source of truth)."""
+    surv = curation_survivor_rows(threshold)
+    if not surv:
+        body = "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1=0"
+    else:
+        body = "SELECT CAST(i AS BIGINT) AS doc_id FROM (VALUES " + \
+            ",".join(f"({i})" for i in surv) + ") AS t(i)"
+    lang_list = ", ".join("'" + l + "'" for l in langs)
+    return f"""
+WITH surv AS ({body}),
+q AS (SELECT * FROM ({quality_sql})),
+l AS (SELECT * FROM ({lang_sql})),
+tok AS (SELECT doc_id, n_tokens FROM ({token_sql}))
+SELECT surv.doc_id, l.pred_lang, CAST(tok.n_tokens AS BIGINT) AS n_tokens,
+       q.quality
+FROM surv
+JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN tok USING (doc_id)
+WHERE q.quality >= {min_quality} AND l.pred_lang IN ({lang_list})
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -252,6 +252,71 @@ def generate_transcripts_distributed(
     return ids.mapInPandas(gen, schema)
 
 
+# ---------------------------------------------------------------------------
+# synthetic document corpus (curation-pipeline scaling input)
+# ---------------------------------------------------------------------------
+_DOC_WORDS = [
+    "data", "query", "table", "row", "scan", "merge", "batch", "stream",
+    "filter", "group", "sort", "window", "join", "hash", "value", "line",
+    "part", "key", "big", "small", "fast", "slow", "column", "order",
+    "spark", "vector", "customer", "agg",
+]
+_EN_STOP_WORDS = ["the", "a", "of", "and", "to", "in", "is", "for"]
+_ES_WORDS = ["el", "la", "que", "de", "los", "es"]
+
+
+def _doc_base_text(i: int, seed: int) -> str:
+    """Deterministic base text of document i — a pure function, so a
+    duplicate of doc j can be generated without materializing doc j."""
+    rng = random.Random(((seed << 32) ^ (i * 2654435761)) & (2**63 - 1))
+    words = (_ES_WORDS * 3 + _DOC_WORDS) if rng.random() < 0.1 else (
+        _EN_STOP_WORDS * 2 + _DOC_WORDS
+    )
+    n = rng.randrange(8, 90)  # short docs fail the quality gate
+    return " ".join(rng.choice(words) for _ in range(n))
+
+
+def generate_documents_distributed(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    dup_rate: float = 0.05,
+    near_dup_rate: float = 0.05,
+    partitions: int = 64,
+):
+    """Cluster-scale synthetic document corpus for the curation pipeline:
+    ~dup_rate exact duplicates (verbatim copies of an earlier doc),
+    ~near_dup_rate near-duplicates (a few tokens perturbed), a mix of
+    predicted languages and quality levels.  One deterministic RNG per
+    doc — embarrassingly parallel, same bytes at any partitioning."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, texts = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random((seed << 32) ^ i)
+                r = rng.random()
+                if i > 0 and r < dup_rate:
+                    t = _doc_base_text(rng.randrange(i), seed)
+                elif i > 0 and r < dup_rate + near_dup_rate:
+                    toks = _doc_base_text(rng.randrange(i), seed).split()
+                    for _ in range(max(1, len(toks) // 30)):
+                        toks[rng.randrange(len(toks))] = rng.choice(_DOC_WORDS)
+                    t = " ".join(toks)
+                else:
+                    t = _doc_base_text(i, seed)
+                ids.append(i)
+                texts.append(t)
+            out = pd.DataFrame({"doc_id": ids, "text": texts})
+            out["doc_id"] = out["doc_id"].astype("int64")
+            yield out
+
+    ids = spark.range(0, n_docs).repartition(partitions)
+    return ids.mapInPandas(gen, "doc_id long, text string")
+
+
 def with_duplicates_and_shuffle(rows: List[Turn], seed: int = 7,
                                 dup_rate: float = 0.05) -> List[Turn]:
     """Exercise P3 dedup + permutation invariance: duplicate some rows

@@ -1,0 +1,122 @@
+"""Composed curation pipeline (plans/curation.py): survivor semantics,
+drop audit in lineage, idempotent resume."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mongo2neo_spark.plans import lineage as lin
+from mongo2neo_spark.plans.curation import CurationConfig, run_curation
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and the day is long "
+    "for all of the people in the town and the road to the sea is clear "
+    "and the wind in the trees is soft and a bird of the air sings to the sun "
+    "and the river runs to the north past the mill and the stone bridge "
+    "and the light of the morning falls on the fields of wheat and corn"
+)
+
+
+def _docs_df(spark):
+    texts = {
+        0: GOOD,                                   # keeper
+        1: GOOD,                                   # exact dup of 0
+        2: GOOD + " extra tail words here",        # near-dup of 0
+        3: GOOD.replace("fox", "cat"),             # near-dup of 0
+        4: "x y z",                                # low quality (short)
+        5: "el la que de los es " * 40,            # non-en predicted lang
+        6: ("a completely different story about the sea and the ships that "
+            "sail on it every day of the year with the crews and the cargo "
+            "and the ports where they rest and the storms they endure and "
+            "the stars they steer by at night across the wide cold water "
+            "of the deep and endless ocean under the pale moon light"),
+    }
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def curation_out(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("curation")
+    _docs_df(spark).write.parquet(str(tmp / "docs"))
+    cfg = CurationConfig(n_buckets=4, run_id="t1")
+    paths = run_curation(spark, str(tmp / "docs"), str(tmp / "out"), cfg,
+                         resume=False)
+    return tmp, paths, cfg
+
+
+def test_curation_survivors(spark, curation_out):
+    _tmp, paths, _cfg = curation_out
+    curated = sorted(
+        r.doc_id for r in spark.read.parquet(paths["curated"]).collect()
+    )
+    # 1,2,3 deduped into 0; 4 fails quality; 5 fails lang; 0 and 6 survive
+    assert curated == [0, 6]
+
+
+def test_curation_lineage_drop_audit(spark, curation_out):
+    tmp, _paths, _cfg = curation_out
+    rows = {
+        r.stage: r
+        for r in lin.read_lineage(spark, str(tmp / "out")).filter(
+            F.col("partition_key") == lin.STAGE_KEY
+        ).collect()
+    }
+    assert rows["exact"].input_rows == 1      # doc 1 dropped
+    assert rows["exact"].output_rows == 6
+    assert rows["neardup"].input_rows == 2    # docs 2, 3 dropped
+    assert rows["neardup"].output_rows == 4
+    assert rows["filter"].input_rows == 2     # docs 4, 5 dropped
+    assert rows["filter"].output_rows == 2
+    # profile stage recorded per-bucket rows covering all 7 docs
+    prof = lin.read_lineage(spark, str(tmp / "out")).filter(
+        F.col("stage") == "profile"
+    )
+    assert prof.agg(F.sum("output_rows")).first()[0] == 7
+
+
+def test_curation_resume_is_noop(spark, curation_out):
+    tmp, paths, cfg = curation_out
+    before = spark.read.parquet(paths["curated"]).collect()
+    n_lineage = lin.read_lineage(spark, str(tmp / "out")).count()
+    run_curation(spark, str(tmp / "docs"), str(tmp / "out"),
+                 CurationConfig(n_buckets=4, run_id="t2"), resume=True)
+    after = spark.read.parquet(paths["curated"]).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # every stage skipped -> no new lineage rows
+    assert lin.read_lineage(spark, str(tmp / "out")).count() == n_lineage
+
+
+def test_curation_matches_pure_python_spec(spark, tmp_path):
+    """End-to-end parity on the sf0.001 documents table: curated doc_id
+    set == exact+minhash survivor replica filtered by the (already
+    per-operator-validated) quality/lang expressions."""
+    import mongo2neo_spark.entry_oracle as eo
+    from mongo2neo_spark.operators import text as textops
+
+    sf = "/root/testdata/sf0.001"
+    paths = run_curation(
+        spark, f"{sf}/documents.parquet", str(tmp_path / "out"),
+        CurationConfig(n_buckets=4), resume=False,
+    )
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(paths["curated"]).collect()
+    )
+    surv = eo.curation_survivor_rows(sf_dir=sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id").isin(surv)
+    )
+    exp = sorted(
+        r.doc_id
+        for r in docs.select(
+            "doc_id",
+            F.round(textops.quality_score("text"), 6).alias("q"),
+            textops.lang_id("text").alias("l"),
+        )
+        .filter((F.col("q") >= 0.5) & (F.col("l") == "en"))
+        .collect()
+    )
+    assert got == exp and len(got) > 0
