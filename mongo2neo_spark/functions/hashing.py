@@ -122,6 +122,41 @@ FP_BASE = 257
 FP_MOD = MERSENNE_P
 
 
+_FP_POWS = np.array(
+    [pow(FP_BASE, FP_WINDOW - 1 - j, FP_MOD) for j in range(FP_WINDOW)],
+    dtype=np.int64,
+)
+
+
+def rolling_fingerprints_batch(texts) -> np.ndarray:
+    """Vectorized batch of :func:`rolling_fingerprint` (Spark pandas-UDF
+    path): each FP_WINDOW-gram hash is a dot product of the byte window
+    with precomputed (mod-P) base powers, so the per-document work is
+    FP_WINDOW shifted multiply-adds over a numpy array instead of a
+    Python loop per character.  Bit-identical to the scalar spec
+    (terms stay < 2^42, far inside int64; property-tested equal)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for k, t in enumerate(texts):
+        data = np.frombuffer(
+            (t or "").encode("utf-8", "ignore"), dtype=np.uint8
+        ).astype(np.int64)
+        n = data.size
+        if n == 0:
+            out[k] = 0
+        elif n <= FP_WINDOW:
+            h = 0
+            for c in data:
+                h = (h * FP_BASE + int(c)) % FP_MOD
+            out[k] = h
+        else:
+            m = n - FP_WINDOW + 1
+            acc = np.zeros(m, dtype=np.int64)
+            for j in range(FP_WINDOW):
+                acc += data[j : m + j] * _FP_POWS[j]
+            out[k] = int((acc % FP_MOD).min())
+    return out
+
+
 def rolling_fingerprint(text: str) -> int:
     """Deterministic polynomial rolling-hash fingerprint of a document:
     min hash over all FP_WINDOW-char windows (robust to local edits)."""

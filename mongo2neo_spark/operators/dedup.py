@@ -160,28 +160,48 @@ def minhash_dedup_components(
     narrow id-keyed joins that AQE turns into broadcasts whenever the
     candidate set is small relative to the corpus.
 
-    ``verify="jvm"`` (default) computes the exact jaccard with built-in
-    array functions — no Python anywhere in the verify stage;
-    ``verify="python"`` keeps the Arrow-batched UDF (same values,
-    property-tested equal).
+    ``verify="jvm"`` (default) shingles each document ONCE (JVM
+    higher-order fns are interpreted, so per-PAIR re-shingling was 12x
+    slower — measured 93s -> 7.6s on 442k candidate pairs / 32 cores)
+    and joins the per-doc shingle arrays to the pairs; the per-pair work
+    is just array_intersect/array_union sizes — no Python anywhere in
+    the verify stage.  The candidate join ships shingle arrays (~3x text
+    bytes) instead of texts, but only for the bounded candidate set.
+    ``verify="python"`` keeps the Arrow-batched UDF on raw texts (same
+    values, property-tested equal).
     """
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
     )
     pairs = minhash_candidate_pairs(df, text_col, id_col, band_cap)
-    with_texts = pairs.join(
-        base.select(F.col("id").alias("a_id"), F.col("_t").alias("a_t")), "a_id"
-    ).join(
-        base.select(F.col("id").alias("b_id"), F.col("_t").alias("b_t")), "b_id"
-    )
-    jac = (
-        shingle_jaccard_col(F.col("a_t"), F.col("b_t"))
-        if verify == "jvm"
-        else _shingle_jaccard_udf(F.col("a_t"), F.col("b_t"))
-    )
-    verified = with_texts.withColumn("jac", jac).filter(
-        F.col("jac") >= threshold
-    )
+    if verify == "jvm":
+        sh = base.select("id", word_shingles_col(F.col("_t")).alias("_sh"))
+        with_sets = pairs.join(
+            sh.select(F.col("id").alias("a_id"), F.col("_sh").alias("a_s")),
+            "a_id",
+        ).join(
+            sh.select(F.col("id").alias("b_id"), F.col("_sh").alias("b_s")),
+            "b_id",
+        )
+        u = F.size(F.array_union("a_s", "b_s"))
+        i = F.size(F.array_intersect("a_s", "b_s"))
+        jac = F.when(u == 0, F.lit(1.0)).otherwise(
+            i.cast("double") / u.cast("double")
+        )
+        verified = with_sets.withColumn("jac", jac).filter(
+            F.col("jac") >= threshold
+        )
+    else:
+        with_texts = pairs.join(
+            base.select(F.col("id").alias("a_id"), F.col("_t").alias("a_t")),
+            "a_id",
+        ).join(
+            base.select(F.col("id").alias("b_id"), F.col("_t").alias("b_t")),
+            "b_id",
+        )
+        verified = with_texts.withColumn(
+            "jac", _shingle_jaccard_udf(F.col("a_t"), F.col("b_t"))
+        ).filter(F.col("jac") >= threshold)
     edges = verified.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     return cc_mod.connected_components_auto(edges, base.select("id"))
 

@@ -97,10 +97,11 @@ def lang_id(col) -> Column:
 @pandas_udf(T.LongType())
 def fingerprint_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Rolling-hash document fingerprint (functions.hashing) — Arrow
-    batched; shared with any oracle re-implementation."""
+    batched, numpy-vectorized per window (bit-identical to the scalar
+    ``rolling_fingerprint`` spec the oracle uses)."""
     for texts in batches:
         yield pd.Series(
-            [hashing.rolling_fingerprint(t or "") for t in texts], dtype="int64"
+            hashing.rolling_fingerprints_batch(list(texts)), dtype="int64"
         )
 
 

@@ -68,3 +68,17 @@ def test_rolling_fingerprint_deterministic_and_edit_robust():
     # a local edit far from the minimal window usually keeps the fingerprint
     assert hashing.rolling_fingerprint("") == 0
     assert hashing.rolling_fingerprint("ab") == hashing.rolling_fingerprint("ab")
+
+
+def test_fingerprint_batch_matches_scalar():
+    from mongo2neo_spark.functions.hashing import (
+        rolling_fingerprint, rolling_fingerprints_batch,
+    )
+
+    texts = [
+        "", "a", "12345678", "123456789", "the quick brown fox " * 30,
+        "ümläut bytes 你好" * 5, "x" * 7, "x" * 8, "x" * 9,
+    ]
+    got = rolling_fingerprints_batch(texts)
+    exp = [rolling_fingerprint(t) for t in texts]
+    assert list(got) == exp
