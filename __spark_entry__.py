@@ -648,6 +648,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+def media_feature_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> similarity CHAINING: opaque media payloads (16 of
+    64 are planted byte-duplicates) flow through the mapInPandas feature
+    extractor and straight into the embedding near-dup stack
+    (hyperplane-LSH blocking -> cosine verify -> min-id CC).  The oracle
+    is a full numpy replica (entry_oracle.media_dedup_cluster_rows) —
+    exact (media_id, n_bytes, component) rows, not just counts."""
+    from mongo2neo_spark import entry_oracle as eo
+    from mongo2neo_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+    from mongo2neo_spark.operators.similarity import embedding_dedup_components
+
+    payloads = eo.media_payloads()
+    media = spark.createDataFrame(
+        [
+            (
+                i,
+                eo.MEDIA_KINDS[i % 3],
+                bytearray(p),
+                ("application/octet-stream", 64, 64, 1000),
+            )
+            for i, p in enumerate(payloads)
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(media)
+    comp = embedding_dedup_components(
+        feats, id_col="media_id", vec_col="feature",
+        threshold=0.9, n_planes=6, n_tables=8, dim=16,
+    )
+    return (
+        feats.select(F.col("media_id"), F.col("n_bytes"))
+        .join(comp.withColumnRenamed("id", "media_id"), "media_id")
+        .select("media_id", "n_bytes", "component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # map functions (SURVEY §2.9) + grouped-agg pandas UDAF (A7)
 # ---------------------------------------------------------------------------
@@ -788,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_synthetic": kg_triples_synthetic,
         "curation_pipeline": curation_pipeline,
         "multimodal_features": multimodal_features,
+        "media_feature_clusters": media_feature_clusters,
         "events_type_map": events_type_map,
         "rms_chars_by_lang": rms_chars_by_lang,
         "asof_click_to_signup": asof_click_to_signup,
@@ -833,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
             _QUALITY_SQL, _lang_id_sql(), _TOKEN_COUNTS_SQL
         ),
         "multimodal_features": _eo().multimodal_sql(),
+        "media_feature_clusters": _eo().media_dedup_sql(),
         "events_type_map": _EVENTS_TYPE_MAP_SQL,
         "rms_chars_by_lang": _RMS_CHARS_SQL,
         "asof_click_to_signup": _ASOF_SQL,

@@ -164,21 +164,30 @@ def embedding_cluster_rows(
     n_planes: int = 6,
     n_tables: int = 8,
     sf_dir: str | None = None,
+    data: tuple | None = None,
 ) -> List[tuple]:
     """Expected (id, component) rows of
     operators.similarity.embedding_dedup_components on the embeddings
     table.  The hyperplane family is deterministic (seed 1337, matching
     similarity._PLANE_SEED), so this numpy replica produces the exact
-    same buckets -> candidate pairs -> cosine-verified min-id clusters."""
-    import numpy as np
-    import pyarrow.parquet as pq
+    same buckets -> candidate pairs -> cosine-verified min-id clusters.
 
-    t = pq.read_table(
-        f"{sf_dir or ORACLE_SF_DIR}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-    )
-    ids = [int(i) for i in t["vec_id"].to_pylist()]
-    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ``data`` = (ids, vecs: float64 ndarray) overrides the table read
+    (used by the multimodal chaining oracle, which clusters the fake
+    media feature vectors instead)."""
+    import numpy as np
+
+    if data is not None:
+        ids, vecs = list(data[0]), np.asarray(data[1], dtype=np.float64)
+    else:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir or ORACLE_SF_DIR}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        ids = [int(i) for i in t["vec_id"].to_pylist()]
+        vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     rng = np.random.default_rng(1337)
     planes = rng.standard_normal((n_tables * n_planes, vecs.shape[1]))
     signs = (vecs @ planes.T) > 0
@@ -362,6 +371,77 @@ def multimodal_rows(n: int = 64) -> List[tuple]:
     length is 64 + (i % 5) * 32 bytes by construction."""
     kinds = ["image", "audio", "video"]
     return [(i, kinds[i % 3], 64 + (i % 5) * 32) for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# multimodal -> embedding-dedup chaining (media payloads with planted dups)
+# ---------------------------------------------------------------------------
+MEDIA_N = 64
+MEDIA_N_UNIQUE = 48  # ids 48..63 reuse payloads 0..15 -> 16 planted dup pairs
+MEDIA_SEED = 42
+MEDIA_KINDS = ("image", "audio", "video")
+
+
+def media_payloads(
+    n: int = MEDIA_N, n_unique: int = MEDIA_N_UNIQUE, seed: int = MEDIA_SEED
+) -> List[bytes]:
+    """Deterministic fake media payloads: content of row i is a pure
+    function of u = i % n_unique (per-index rng, NOT stream-sequential),
+    so duplicates are planted without materializing order dependence.
+    Shared by the Spark entry (builds the media table from these bytes)
+    and the oracle replica below."""
+    import numpy as np
+
+    out = []
+    for i in range(n):
+        u = i % n_unique
+        rng = np.random.default_rng((seed << 20) ^ u)
+        out.append(
+            bytes(rng.integers(0, 256, size=64 + (u % 5) * 32, dtype=np.uint8))
+        )
+    return out
+
+
+def media_feature_vectors(payloads: Sequence[bytes]):
+    """float64 copy of multimodal.deterministic_fake_features for each
+    payload, INCLUDING the float32 round-trip the Spark path performs
+    (features ride an array<float> column before the cast to double)."""
+    import zlib
+
+    import numpy as np
+
+    vecs = []
+    for content in payloads:
+        rng = np.random.default_rng(zlib.crc32(content or b""))
+        v = rng.standard_normal(16).astype(np.float32)
+        nrm = float(np.linalg.norm(v))
+        v32 = v / nrm if nrm else v
+        vecs.append(v32.astype(np.float64))
+    return np.stack(vecs)
+
+
+def media_dedup_cluster_rows(threshold: float = 0.9) -> List[tuple]:
+    """Expected (media_id, n_bytes, component) of the chained
+    synthesize-media -> extract_features -> embedding_dedup_components
+    entry: same hyperplane family / cosine verify / min-id CC replica as
+    :func:`embedding_cluster_rows`, over the fake-media feature vectors."""
+    payloads = media_payloads()
+    vecs = media_feature_vectors(payloads)
+    comp = embedding_cluster_rows(
+        threshold=threshold, data=(list(range(MEDIA_N)), vecs)
+    )
+    by_id = dict(comp)
+    return [
+        (i, len(payloads[i]), by_id[i]) for i in range(MEDIA_N)
+    ]
+
+
+def media_dedup_sql(threshold: float = 0.9) -> str:
+    return values_sql(
+        media_dedup_cluster_rows(threshold),
+        [("media_id", "BIGINT"), ("n_bytes", "BIGINT"),
+         ("component", "BIGINT")],
+    )
 
 
 def curation_survivor_rows(

@@ -144,6 +144,35 @@ def windowed_turn_counts(
     )
 
 
+def sessionized_turn_counts(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window re-segmentation for UNTRUSTED conv_ids (SURVEY
+    §2.12 optional extension): a conv_id whose turns span an activity
+    gap larger than ``gap`` splits into multiple sessions; merged or
+    recycled conv_ids stop leaking turns across sittings.
+
+    ``F.session_window`` keeps per-(conv_id, open-session) state only
+    until the watermark passes the session's close — bounded by live
+    conversations, not history.  Works identically on a batch frame
+    (withWatermark is a no-op there), which is what the stream==batch
+    parity test exploits.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("sess"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_turns",
+        )
+    )
+
+
 CONV_STATS_STATE = "n_turns long, max_ts timestamp"
 CONV_STATS_OUTPUT = "conv_id string, n_turns long, max_ts timestamp"
 

@@ -36,3 +36,33 @@ def test_same_bytes_same_features():
     c = multimodal.deterministic_fake_features(b"other")
     assert np.allclose(a, b)
     assert not np.allclose(a, c)
+
+
+def test_media_features_chain_into_embedding_dedup(spark):
+    """VERDICT item: the multimodal column must flow through the
+    similarity stack — planted byte-duplicate payloads end up in the
+    same embedding-dedup component."""
+    from mongo2neo_spark import entry_oracle as eo
+    from mongo2neo_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+    from mongo2neo_spark.operators.similarity import embedding_dedup_components
+
+    payloads = eo.media_payloads(n=24, n_unique=16)
+    media = spark.createDataFrame(
+        [(i, eo.MEDIA_KINDS[i % 3], bytearray(p),
+          ("application/octet-stream", 64, 64, 1000))
+         for i, p in enumerate(payloads)],
+        MEDIA_SCHEMA,
+    )
+    comp = embedding_dedup_components(
+        extract_features(media), id_col="media_id", vec_col="feature",
+        threshold=0.9, n_planes=6, n_tables=8, dim=16,
+    )
+    got = {(r.id, r.component) for r in comp.collect()}
+    vecs = eo.media_feature_vectors(payloads)
+    exp = set(eo.embedding_cluster_rows(
+        threshold=0.9, data=(list(range(24)), vecs)))
+    assert got == exp
+    # the 8 planted dups (16..23 reuse 0..7) share their source's component
+    by_id = dict(got)
+    for i in range(16, 24):
+        assert by_id[i] == by_id[i - 16]

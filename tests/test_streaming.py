@@ -194,3 +194,59 @@ def test_foreach_batch_pipeline(spark, small_rows, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out/extracted"))
     assert out.count() > 0
     assert "ex" in out.columns
+
+
+def test_sessionized_turn_counts_matches_batch(spark, small_rows, stream_dirs):
+    """session_window re-segmentation: stream (availableNow, append) ==
+    batch run of the SAME function over the same physical rows, and a
+    conv whose turns straddle a >gap pause splits into >=2 sessions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    tmp = stream_dirs
+    # add one conv with a deliberate 30-minute gap (5-minute session gap)
+    gap_rows = pd.DataFrame({
+        "conv_id": ["gap_conv"] * 4,
+        "turn_idx": [0, 1, 2, 3],
+        "role": ["user", "assistant", "user", "assistant"],
+        "ts": pd.to_datetime([
+            "2026-01-01 00:00:00", "2026-01-01 00:01:00",
+            "2026-01-01 00:31:00", "2026-01-01 00:32:00",
+        ]),
+        "text": ["a", "b", "c", "d"],
+        "tool": [None] * 4,
+    })
+    sample = spark.read.parquet(str(tmp / "in")).limit(1).toPandas()
+    gap_rows = gap_rows[[c for c in sample.columns]]
+    spark.createDataFrame(gap_rows).write.parquet(str(tmp / "in"), mode="append")
+
+    stream = streaming.read_transcript_stream(spark, str(tmp / "in"))
+    q = (
+        streaming.sessionized_turn_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp / "ck_sess"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.sess_start, r.sess_end): r.n_turns
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    ref = {
+        (r.conv_id, r.sess_start, r.sess_end): r.n_turns
+        for r in streaming.sessionized_turn_counts(
+            spark.read.parquet(str(tmp / "in"))
+        ).collect()
+    }
+    # append mode only emits sessions the watermark closed; each emitted
+    # session must match the batch run exactly
+    assert got
+    for k, v in got.items():
+        assert ref.get(k) == v
+    # the gap conversation re-segments into two sessions in the batch ref
+    gap_sessions = [k for k in ref if k[0] == "gap_conv"]
+    assert len(gap_sessions) == 2
+    assert sorted(ref[k] for k in gap_sessions) == [2, 2]
