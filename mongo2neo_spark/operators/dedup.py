@@ -173,6 +173,25 @@ def minhash_dedup_components(
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
     )
+    edges = minhash_verified_edges(df, text_col, id_col, threshold, band_cap,
+                                   verify)
+    return cc_mod.connected_components_auto(edges, base.select("id"))
+
+
+def minhash_verified_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    band_cap: int = hashing.BAND_CAP,
+    verify: str = "jvm",
+) -> DataFrame:
+    """The (src, dst) near-dup edge stream feeding CC — factored out so
+    the plan auditor (tools/explain_plans.py) can show the verify stage
+    has zero Python operators on the jvm path."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
+    )
     pairs = minhash_candidate_pairs(df, text_col, id_col, band_cap)
     if verify == "jvm":
         sh = base.select("id", word_shingles_col(F.col("_t")).alias("_sh"))
@@ -202,8 +221,9 @@ def minhash_dedup_components(
         verified = with_texts.withColumn(
             "jac", _shingle_jaccard_udf(F.col("a_t"), F.col("b_t"))
         ).filter(F.col("jac") >= threshold)
-    edges = verified.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    return cc_mod.connected_components_auto(edges, base.select("id"))
+    return verified.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
