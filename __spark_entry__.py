@@ -752,6 +752,34 @@ ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
 """
 
 
+def asof_bucketed_click_to_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe as-of variant (operators.joins.asof_join_bucketed:
+    (key, time-bucket) window partitioning + bucket-level carry-forward)
+    against the SAME DuckDB native ASOF JOIN oracle — output-identical to
+    asof_join by construction, here proven against an independent engine.
+    A deliberately small bucket (15 min vs the events table's multi-day
+    span) forces many cross-bucket carries."""
+    from mongo2neo_spark.operators.joins import asof_join_bucketed
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts"
+    )
+    out = asof_join_bucketed(clicks, signups, on="user_id",
+                             bucket_seconds=900)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("signup_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+        .cast("long")
+        .alias("lag_sec"),
+    )
+
+
 def rms_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 grouped-agg pandas UDAF: per-language root-mean-square document
     length.  The UDAF accumulates the square-sum in exact Python integers
@@ -831,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_map": events_type_map,
         "rms_chars_by_lang": rms_chars_by_lang,
         "asof_click_to_signup": asof_click_to_signup,
+        "asof_bucketed_click_to_signup": asof_bucketed_click_to_signup,
     }
 
 
@@ -877,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_map": _EVENTS_TYPE_MAP_SQL,
         "rms_chars_by_lang": _RMS_CHARS_SQL,
         "asof_click_to_signup": _ASOF_SQL,
+        "asof_bucketed_click_to_signup": _ASOF_SQL,
     }
 
 

@@ -107,7 +107,29 @@ def main() -> None:
         kg_walls.append(round(time.monotonic() - t0, 3))
     timings["kg_pipeline"] = min(kg_walls)
 
-    # 2. relational / graph / training-data headliners from __spark_entry__
+    # 2. the composed training-data curation pipeline end-to-end
+    # (profile -> exact dedup -> minhash near-dup -> quality/lang filter)
+    # on the sf documents table, fresh out dir each run, min of 2
+    def curation_once(i):
+        from mongo2neo_spark.plans.curation import CurationConfig, run_curation
+
+        out_dir = tempfile.mkdtemp(prefix="m2n_bench_cur_")
+        cfg = CurationConfig(n_buckets=16, run_id=f"bench{i}")
+        paths = run_curation(
+            spark, f"{SF_DIR}/documents.parquet", f"{out_dir}/cur", cfg,
+            resume=False,
+        )
+        spark.read.parquet(paths["curated"]).count()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    cur_walls = []
+    for i in range(2):
+        t0 = time.monotonic()
+        curation_once(i)
+        cur_walls.append(round(time.monotonic() - t0, 3))
+    timings["curation_pipeline"] = min(cur_walls)
+
+    # 3. relational / graph / training-data headliners from __spark_entry__
     heads = [
         "graph_edges",
         "agg_pricing_summary",

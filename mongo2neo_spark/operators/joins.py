@@ -119,9 +119,17 @@ def asof_join_bucketed(
     t_type = right.schema[right_time].dataType
 
     def bucket_of(c):
-        return F.floor(c.cast("double") / F.lit(float(bucket_seconds))).cast(
-            "long"
-        )
+        # timestamps (incl. TIMESTAMP_NTZ, which ANSI refuses to cast to
+        # double directly) go through an epoch-seconds conversion; plain
+        # numeric time columns cast straight through
+        from pyspark.sql import types as T
+
+        dt = t_type
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            c = c.cast("timestamp").cast("double")
+        else:
+            c = c.cast("double")
+        return F.floor(c / F.lit(float(bucket_seconds))).cast("long")
 
     lt = left.select(
         *l_cols,
