@@ -553,6 +553,17 @@ def minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_components(docs, "text", "doc_id", threshold=0.5)
 
 
+def ngram_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram-jaccard near-dup clustering (no MinHash anywhere):
+    (crc32, shingle)-ordered prefix filter blocking -> exact verify ->
+    min-id CC; pure-Python replica rendered as the VALUES oracle."""
+    from mongo2neo_spark.operators.dedup import ngram_jaccard_dedup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup_components(docs, "text", "doc_id",
+                                          threshold=0.5)
+
+
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (deterministic spherical-k-means coarse quantizer, probe
     top-n cells) gated on measured MEAN recall@10 >= 0.9 vs brute force.
@@ -849,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "minhash_doc_clusters": minhash_doc_clusters,
+        "ngram_jaccard_clusters": ngram_jaccard_clusters,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "simhash_doc_signatures": simhash_doc_signatures,
         "doc_fingerprints": doc_fingerprints,
@@ -894,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _eo().ann_lsh_topk_sql(),
         "ann_ivf_topk": _eo().ann_ivf_topk_sql(),
         "minhash_doc_clusters": _eo().minhash_clusters_sql(),
+        "ngram_jaccard_clusters": _eo().ngram_jaccard_sql(),
         "embedding_dedup_clusters": _eo().embedding_clusters_sql(),
         "simhash_doc_signatures": _eo().simhash_sql(),
         "doc_fingerprints": _eo().fingerprints_sql(),

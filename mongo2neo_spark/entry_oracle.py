@@ -373,6 +373,65 @@ def multimodal_rows(n: int = 64) -> List[tuple]:
     return [(i, kinds[i % 3], 64 + (i % 5) * 32) for i in range(n)]
 
 
+def ngram_jaccard_cluster_rows(
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    block_cap: int = hashing.BAND_CAP,
+    sf_dir: str | None = None,
+) -> List[tuple]:
+    """Expected (id, component) rows of
+    operators.dedup.ngram_jaccard_dedup_components on the documents
+    table: (crc32, shingle)-ordered prefix filter -> blocked candidate
+    pairs (blocks over cap dropped) -> EXACT jaccard verify -> min-id
+    union-find.  ceil() runs on the same IEEE double product as Spark's
+    F.ceil, so prefix lengths agree bit-for-bit."""
+    import math
+    import zlib
+
+    ids, texts = _read_docs(sf_dir)
+    shingles = {
+        int(i): _word_shingles(t, shingle_n) for i, t in zip(ids, texts)
+    }
+    blocks: dict = defaultdict(list)
+    for i in sorted(shingles):
+        ordered = sorted(
+            shingles[i], key=lambda s: (zlib.crc32(s.encode("utf-8")), s)
+        )
+        k = len(ordered)
+        plen = k - math.ceil(k * float(threshold)) + 1
+        for s in ordered[:plen]:
+            blocks[s].append(i)
+    pairs = set()
+    for members in blocks.values():
+        if len(members) > block_cap:
+            continue
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                pairs.add((members[ai], members[bi]))
+    parent = {i: i for i in shingles}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        if _jaccard(shingles[a], shingles[b]) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    return [(i, find(i)) for i in sorted(shingles)]
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return values_sql(
+        ngram_jaccard_cluster_rows(threshold),
+        [("id", "BIGINT"), ("component", "BIGINT")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal -> embedding-dedup chaining (media payloads with planted dups)
 # ---------------------------------------------------------------------------

@@ -237,6 +237,101 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram-Jaccard near-dup via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_dedup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    block_cap: int = hashing.BAND_CAP,
+) -> DataFrame:
+    """(id, component) clusters under EXACT word-``shingle_n``-gram
+    jaccard >= ``threshold`` — no MinHash approximation anywhere, with
+    prefix filtering doing the blocking.
+
+    Prefix-filter principle: order every document's shingle set by a
+    global total order — (crc32, shingle), hash-first so the order is
+    content-uniform, shingle tiebreak so it is total; the same order is
+    computable by the pure-Python oracle (zlib.crc32), and any
+    consistent order is sound (frequency order would merely shrink
+    blocks further).  If jaccard(A, B) >= t then the two prefixes of
+    length |S| - ceil(t * |S|) + 1 must SHARE at least one shingle, so
+    only the prefix shingles are exploded into (id, shingle) blocking
+    rows — a ~(1 - t)x fraction of the full inverted index, and the
+    candidate join is an equi-join on the shingle, never all-pairs.
+
+    Scale shape mirrors the MinHash path: blocking stream is
+    (id, shingle-hash) only; the full shingle arrays rejoin for the
+    surviving candidate pairs; blocks over ``block_cap`` ids are dropped
+    with the same K3 audit semantics (a shingle shared by >cap docs is
+    stopword-like and discriminates nothing).  RECALL CAVEAT of the cap:
+    unlike MinHash (probabilistic anyway), dropping a hot block here can
+    lose a true pair whose ONLY prefix overlap is the hot shingle —
+    acceptable for dedup (hot shingles are near-universal n-grams), and
+    the pure-Python oracle replicates the cap exactly.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        word_shingles_col(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    # order by (crc32, shingle); prefix length = |S| - ceil(t|S|) + 1
+    hashed = base.select(
+        "id",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    "_sh",
+                    lambda s: F.struct(
+                        F.crc32(F.encode(s, "UTF-8")).alias("h"),
+                        s.alias("s"),
+                    ),
+                )
+            ),
+            lambda st: st["s"],
+        ).alias("_hs"),
+        "_sh",
+    )
+    prefix_len = (
+        F.size("_hs") - F.ceil(F.size("_hs") * F.lit(float(threshold)))
+        + F.lit(1)
+    ).cast("int")
+    blocks = hashed.select(
+        "id", F.explode(F.slice("_hs", 1, prefix_len)).alias("k")
+    )
+    w = Window.partitionBy("k")
+    blocks = blocks.withColumn("bs", F.count("*").over(w)).filter(
+        F.col("bs") <= block_cap
+    )
+    a = blocks.select(F.col("id").alias("a_id"), "k")
+    b = blocks.select(F.col("id").alias("b_id"), "k")
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sh = hashed.select("id", "_sh")
+    with_sets = pairs.join(
+        sh.select(F.col("id").alias("a_id"), F.col("_sh").alias("a_s")), "a_id"
+    ).join(
+        sh.select(F.col("id").alias("b_id"), F.col("_sh").alias("b_s")), "b_id"
+    )
+    u = F.size(F.array_union("a_s", "b_s"))
+    i = F.size(F.array_intersect("a_s", "b_s"))
+    jac = F.when(u == 0, F.lit(1.0)).otherwise(
+        i.cast("double") / u.cast("double")
+    )
+    edges = (
+        with_sets.withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    return cc_mod.connected_components_auto(edges, base.select("id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 @pandas_udf(T.LongType())

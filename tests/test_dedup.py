@@ -109,3 +109,59 @@ def test_simhash_deterministic(spark):
     a = dedup.simhash_groups(df).collect()[0].simhash
     b = dedup.simhash_groups(df).collect()[0].simhash
     assert a == b
+
+
+def test_ngram_jaccard_prefix_filter_is_complete(spark):
+    """The prefix filter must find EVERY pair with exact jaccard >=
+    threshold (no-cap case): compare against brute-force all-pairs
+    union-find on a mixed corpus of dups, near-dups, and unrelated
+    docs."""
+    import itertools
+
+    import pandas as pd
+
+    from mongo2neo_spark.entry_oracle import _jaccard, _word_shingles
+    from mongo2neo_spark.operators.dedup import ngram_jaccard_dedup_components
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river bank under a pale morning sun")
+    texts = {
+        0: base,
+        1: base,                                  # exact dup
+        2: base.replace("fox", "cat"),            # near dup
+        3: base + " and then some more words",    # near dup
+        4: "completely different text about spark query planning and "
+           "shuffle partitions in a distributed engine at scale",
+        5: "short one",
+        6: "",
+        7: "the quick brown fox",                 # subset, low jaccard
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        (r.id, r.component)
+        for r in ngram_jaccard_dedup_components(df, threshold=0.5).collect()
+    }
+    # brute force reference
+    sh = {i: _word_shingles(t) for i, t in texts.items()}
+    parent = {i: i for i in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(texts), 2):
+        if _jaccard(sh[a], sh[b]) >= 0.5:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    exp = {(i, find(i)) for i in texts}
+    assert got == exp
+    # sanity: the dup trio actually clustered
+    comp = dict(got)
+    assert comp[0] == comp[1] == comp[2] == comp[3]
+    assert comp[4] != comp[0]
