@@ -1,0 +1,195 @@
+"""N-vs-4N scaling evidence for the SIMILARITY-SEARCH operators (LSH
+top-k, IVF top-k, embedding near-dup clustering), mirroring
+BENCH/scaling.py's protocol:
+
+    N  = local-cluster[1, 4, 6144]  (taskset-pinned to 4 cores)
+    4N = local-cluster[4, 4, 6144]  (taskset-pinned to 16 cores)
+
+Same spark-submit --py-files job (BENCH/run_ann_job.py), same input,
+best-of-k; per-workload result checksums are asserted identical across
+cluster sizes.  Results land in BENCH/ann_scaling.json and as a marked
+section in BENCH/BASELINE.md (preserved by scaling.py regeneration).
+
+Usage: python BENCH/ann_scaling.py [n_vecs]   (default 1M vectors;
+the near-dup corpus is n_vecs/10 planted 4-vector clusters)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+BENCH_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(BENCH_DIR)
+sys.path.insert(0, REPO)
+sys.path.insert(0, BENCH_DIR)
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+
+from scaling import (  # noqa: E402
+    EXEC_CORES,
+    EXEC_MEM_MB,
+    SIZES,
+    build_pyfiles_zip,
+    host_calibration,
+    spark_submit_bin,
+)
+
+N_VECS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+N_DEDUP = max(50_000, N_VECS // 10)
+INPUT = f"/tmp/m2n_ann_cache/embeddings_{N_VECS}"
+DEDUP_INPUT = f"/tmp/m2n_ann_cache/neardup_{N_DEDUP}"
+
+SECTION_BEGIN = "<!-- ANN_SCALING_BEGIN -->"
+SECTION_END = "<!-- ANN_SCALING_END -->"
+
+
+def ensure_input() -> None:
+    if os.path.exists(f"{INPUT}/_SUCCESS") and os.path.exists(
+        f"{DEDUP_INPUT}/_SUCCESS"
+    ):
+        return
+    from mongo2neo_spark.fixtures import generate_embeddings_distributed
+    from mongo2neo_spark.session import get_spark
+
+    spark = get_spark(app_name="m2n-ann-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{INPUT}/_SUCCESS"):
+        df = generate_embeddings_distributed(
+            spark, N_VECS, seed=7, partitions=256
+        )
+        df.write.mode("overwrite").parquet(INPUT)
+        print("generated", spark.read.parquet(INPUT).count(), "->", INPUT)
+    if not os.path.exists(f"{DEDUP_INPUT}/_SUCCESS"):
+        # planted near-dup regime: tiny 4-vector clusters at cosine ~0.99
+        dd = generate_embeddings_distributed(
+            spark, N_DEDUP, seed=11, n_clusters=max(1, N_DEDUP // 4),
+            noise=0.02, partitions=128,
+        )
+        dd.write.mode("overwrite").parquet(DEDUP_INPUT)
+        print("generated", spark.read.parquet(DEDUP_INPUT).count(),
+              "->", DEDUP_INPUT)
+    spark.stop()
+
+
+def run_at(n_execs: int, zpath: str) -> dict:
+    cores = n_execs * EXEC_CORES
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        spark_submit_bin(),
+        "--master", f"local-cluster[{n_execs},{EXEC_CORES},{EXEC_MEM_MB}]",
+        "--driver-memory", "4g",
+        "--conf", "spark.sql.shuffle.partitions=128",
+        "--conf", "spark.local.dir=/dev/shm/m2n-spark-local",
+        "--py-files", zpath,
+        os.path.join(REPO, "BENCH", "run_ann_job.py"),
+        "--input", INPUT, "--dedup-input", DEDUP_INPUT,
+    ]
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                          env=env)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            r = json.loads(line[len("RESULT "):])
+            r["executors"] = n_execs
+            r["cores"] = cores
+            return r
+    raise RuntimeError(
+        f"{n_execs}-executor ANN run produced no RESULT:\n"
+        f"{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+    )
+
+
+def _best_of(n_execs: int, zpath: str, k: int) -> dict:
+    runs = [run_at(n_execs, zpath) for _ in range(k)]
+    for r in runs:
+        print(f"  run @{n_execs} execs:", r)
+    best = max(runs, key=lambda r: r["vecs_per_sec"])
+    best["runs"] = [r["wall_sec"] for r in runs]
+    return best
+
+
+def render_section(report: dict) -> str:
+    rn, r4 = report["N"], report["4N"]
+    rows = "\n".join(
+        f"| {w} | {rn['walls'][w]} | {r4['walls'][w]} | "
+        f"{round(rn['walls'][w] / (4 * r4['walls'][w]), 3)} |"
+        for w in rn["walls"]
+    )
+    return f"""{SECTION_BEGIN}
+## Similarity search (ANN + embedding dedup) — N vs 4N executors
+
+Same protocol as the KG/curation studies, over {report['input_vecs']:,}
+synthetic 32-dim embeddings clustered around 64 centroids
+(fixtures.generate_embeddings_distributed, seed 7): multi-table
+hyperplane-LSH top-10 (64 broadcast queries) and IVF top-10 (spherical
+k-means quantizer, 8-probe); embedding near-dup clustering runs on its
+own {report['N']['dedup_vecs']:,}-vector planted-duplicate corpus
+(4-vector clusters at cosine ~0.99, {report['N']['dedup_planes']}
+planes/table = log2(n/32) so unrelated-vector bucket co-residence stays
+linear).  Result checksums asserted identical at both sizes.
+
+| workload | N wall (s) | 4N wall (s) | per-workload efficiency |
+|---|---|---|---|
+{rows}
+
+Totals: N {rn['wall_sec']}s ({rn['vecs_per_sec']:,} vecs/s), 4N
+{r4['wall_sec']}s ({r4['vecs_per_sec']:,} vecs/s) — **scaling
+efficiency {report['scaling_efficiency']}** (host ceiling this run
+{report['host_ceiling']}, normalized
+{report['efficiency_vs_host_ceiling']}).  All runs (s): N
+{rn.get('runs')}, 4N {r4.get('runs')}.  Measured
+{dt.date.today().isoformat()}.
+{SECTION_END}"""
+
+
+def write_section(report: dict) -> None:
+    path = os.path.join(BENCH_DIR, "BASELINE.md")
+    section = render_section(report)
+    with open(path) as f:
+        md = f.read()
+    if SECTION_BEGIN in md:
+        pre = md.split(SECTION_BEGIN)[0]
+        post = md.split(SECTION_END)[1]
+        md = pre + section + post
+    else:
+        md = md.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(md)
+    print("updated", path)
+
+
+def main() -> None:
+    ensure_input()
+    zpath = build_pyfiles_zip()
+    k = int(os.environ.get("M2N_SCALE_RUNS", "1"))
+    cal = host_calibration(SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES)
+    print("host calibration:", cal)
+    r_n = _best_of(SIZES["N"], zpath, k)
+    print("N  :", r_n)
+    r_4n = _best_of(SIZES["4N"], zpath, k)
+    print("4N :", r_4n)
+    assert r_n["checks"] == r_4n["checks"], (
+        f"ANN results diverge across cluster sizes: "
+        f"N={r_n['checks']} 4N={r_4n['checks']}"
+    )
+    eff = (r_4n["vecs_per_sec"] / r_n["vecs_per_sec"]) / 4.0
+    report = {
+        "input_vecs": r_n["vecs"],
+        "N": r_n,
+        "4N": r_4n,
+        "scaling_efficiency": round(eff, 3),
+        "host_ceiling": cal["ceiling"],
+        "efficiency_vs_host_ceiling": round(eff / cal["ceiling"], 3),
+    }
+    print(json.dumps(report))
+    with open(os.path.join(BENCH_DIR, "ann_scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    write_section(report)
+
+
+if __name__ == "__main__":
+    main()

@@ -251,19 +251,16 @@ BENCH_r{{N}}.json; compare `value` (total wall sec, lower is better) and
 `kg_turns_per_sec` (higher is better) across rounds.
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # preserve the curation-scaling section (maintained by
-    # BENCH/curation_scaling.py) across regenerations
+    # preserve the marked sections other studies maintain
+    # (BENCH/curation_scaling.py, BENCH/ann_scaling.py) across regens
     try:
         with open(out) as f:
             old = f.read()
-        if "<!-- CURATION_SCALING_BEGIN -->" in old:
-            sec = old.split("<!-- CURATION_SCALING_BEGIN -->")[1].split(
-                "<!-- CURATION_SCALING_END -->"
-            )[0]
-            md = (
-                md.rstrip() + "\n\n<!-- CURATION_SCALING_BEGIN -->" + sec
-                + "<!-- CURATION_SCALING_END -->\n"
-            )
+        for tag in ("CURATION_SCALING", "ANN_SCALING"):
+            begin, end = f"<!-- {tag}_BEGIN -->", f"<!-- {tag}_END -->"
+            if begin in old:
+                sec = old.split(begin)[1].split(end)[0]
+                md = md.rstrip() + "\n\n" + begin + sec + end + "\n"
     except FileNotFoundError:
         pass
     with open(out, "w") as f:

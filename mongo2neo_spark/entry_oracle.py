@@ -165,6 +165,7 @@ def embedding_cluster_rows(
     n_tables: int = 8,
     sf_dir: str | None = None,
     data: tuple | None = None,
+    bucket_cap: int = 1000,
 ) -> List[tuple]:
     """Expected (id, component) rows of
     operators.similarity.embedding_dedup_components on the embeddings
@@ -199,6 +200,8 @@ def embedding_cluster_rows(
             buckets[(tbl, int(bk))].append(i)
     pairs = set()
     for members in buckets.values():
+        if len(members) > bucket_cap:  # K3 hot-bucket cap, replicated
+            continue
         for ai in range(len(members)):
             for bi in range(ai + 1, len(members)):
                 a, b = members[ai], members[bi]

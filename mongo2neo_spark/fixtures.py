@@ -317,6 +317,52 @@ def generate_documents_distributed(
     return ids.mapInPandas(gen, "doc_id long, text string")
 
 
+# ---------------------------------------------------------------------------
+# synthetic embedding corpus (ANN scaling input)
+# ---------------------------------------------------------------------------
+def generate_embeddings_distributed(
+    spark,
+    n_vecs: int,
+    dim: int = 32,
+    seed: int = 7,
+    n_clusters: int = 64,
+    noise: float = 0.25,
+    partitions: int = 64,
+):
+    """Cluster-scale synthetic embeddings: unit vectors drawn around
+    ``n_clusters`` deterministic centroids, one per-index rng per vector
+    — embarrassingly parallel, identical bytes at any partitioning.
+
+    Two regimes via the knobs: few clusters + large ``noise`` = an ANN
+    retrieval corpus (IVF has coarse structure to exploit); many tiny
+    clusters (n_clusters ~ n/4) + small ``noise`` (0.02 -> intra-cluster
+    cosine ~0.99) = a near-dup corpus with planted duplicate groups."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        # centroids are derived per-index too (n_clusters can be huge in
+        # the near-dup regime — never materialize the full matrix)
+        def centroid(k: int):
+            crng = np.random.default_rng((seed << 16) ^ (k * 7919))
+            c = crng.standard_normal(dim)
+            return c / np.linalg.norm(c)
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = np.empty((len(ids), dim), dtype=np.float64)
+            for j, i in enumerate(ids):
+                rng = np.random.default_rng((seed << 32) ^ int(i))
+                v = centroid(int(i) % n_clusters) + noise * rng.standard_normal(dim)
+                out[j] = v / np.linalg.norm(v)
+            yield pd.DataFrame(
+                {"vec_id": ids.astype("int64"), "embedding": list(out)}
+            )
+
+    ids = spark.range(0, n_vecs).repartition(partitions)
+    return ids.mapInPandas(gen, "vec_id long, embedding array<double>")
+
+
 def with_duplicates_and_shuffle(rows: List[Turn], seed: int = 7,
                                 dup_rate: float = 0.05) -> List[Turn]:
     """Exercise P3 dedup + permutation invariance: duplicate some rows

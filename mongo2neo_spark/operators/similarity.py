@@ -317,6 +317,7 @@ def embedding_dedup_components(
     n_planes: int = 6,
     n_tables: int = 8,
     dim: int | None = None,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup clustering: (id, component).
 
@@ -338,6 +339,17 @@ def embedding_dedup_components(
     bx = base.select(
         "id", F.posexplode(buckets(F.col("_v"))).alias("tbl", "bucket")
     )
+    # K3 hot-bucket breaker, same rule as the MinHash band cap: a
+    # bucket holding > bucket_cap vectors (dense region / degenerate
+    # plane cut) would contribute O(cap^2)+ candidate pairs per table —
+    # on clustered corpora that is THE quadratic blowup, so such
+    # buckets are dropped entirely (the pure-Python oracle replicates
+    # the cap, and multi-table union keeps recall: a true near-dup pair
+    # only needs ONE surviving shared bucket across the n_tables)
+    wcap = Window.partitionBy("tbl", "bucket")
+    bx = bx.withColumn("bs", F.count("*").over(wcap)).filter(
+        F.col("bs") <= bucket_cap
+    ).drop("bs")
     a = bx.select(F.col("id").alias("a_id"), "tbl", "bucket")
     b = bx.select(F.col("id").alias("b_id"), "tbl", "bucket")
     pairs = (
