@@ -69,6 +69,82 @@ def minhash_signatures_batch(token_sets: Sequence[Iterable[str]]) -> np.ndarray:
     return sig
 
 
+_TOKEN_HASH_MEMO: Dict[str, int] = {}
+_MEMO_CAP = 4_000_000
+
+
+def shingle_hash_lists(texts: Sequence[str], n: int = 3) -> List[List[int]]:
+    """Per-text word-``n``-shingle base-hash lists, fused and memoized —
+    the hot path of the banding UDF.
+
+    Semantics are IDENTICAL to ``[_word_shingles -> token_hash]``:
+    shingle strings are built zip-wise (no per-index list slicing), the
+    crc32 is memoized across the worker's lifetime (pure function of the
+    string; natural shingle reuse makes the hit rate high on real
+    corpora too), and deduplication happens on the hash value — safe,
+    because MinHash minima are invariant under duplicate base hashes, so
+    a crc collision between two distinct shingles of the SAME document
+    cannot change the signature."""
+    memo = _TOKEN_HASH_MEMO
+    crc = zlib.crc32
+    out: List[List[int]] = []
+    for text in texts:
+        toks = (text or "").split()
+        if len(toks) < n:
+            if not toks:
+                out.append([])
+                continue
+            s = " ".join(toks)
+            h = memo.get(s)
+            if h is None:
+                h = crc(s.encode("utf-8")) % MERSENNE_P
+                if len(memo) < _MEMO_CAP:
+                    memo[s] = h
+            out.append([h])
+            continue
+        hs = set()
+        for t3 in zip(*(toks[i:] for i in range(n))):
+            s = " ".join(t3)
+            h = memo.get(s)
+            if h is None:
+                h = crc(s.encode("utf-8")) % MERSENNE_P
+                if len(memo) < _MEMO_CAP:
+                    memo[s] = h
+            hs.add(h)
+        out.append(list(hs))
+    return out
+
+
+def minhash_signatures_from_hashes(hash_lists: Sequence[Sequence[int]]) -> np.ndarray:
+    """(n, NUM_HASHES) signatures from precomputed base-hash lists —
+    same flattened matrix + ``minimum.reduceat`` as
+    :func:`minhash_signatures_batch`."""
+    if len(hash_lists) == 0:
+        return np.empty((0, NUM_HASHES), dtype=np.int64)
+    offsets = np.empty(len(hash_lists), dtype=np.int64)
+    total = 0
+    empties = []
+    for i, hl in enumerate(hash_lists):
+        offsets[i] = total
+        if hl:
+            total += len(hl)
+        else:
+            empties.append(i)
+            total += 1  # placeholder slot
+    xs = np.zeros(total, dtype=np.int64)
+    pos = 0
+    for hl in hash_lists:
+        m = len(hl) or 1
+        if hl:
+            xs[pos : pos + m] = hl
+        pos += m
+    h = (HASH_A[:, None] * xs[None, :] + HASH_B[:, None]) % MERSENNE_P
+    sig = np.minimum.reduceat(h, offsets, axis=1).T
+    if empties:
+        sig[np.asarray(empties)] = MERSENNE_P
+    return sig
+
+
 def band_keys(sig: Sequence[int]) -> List[str]:
     """LSH band keys of a signature: one string key per band.
 

@@ -61,9 +61,12 @@ def _word_shingles(text: str, n: int = 3) -> frozenset:
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def _shingle_band_keys_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # fused shingle->hash path (memoized crc32, no per-index slicing) —
+    # value-identical to [_word_shingles -> minhash_signatures_batch]
+    # (property-tested); this UDF is the curation pipeline's hottest loop
     for texts in batches:
-        token_sets = [_word_shingles(t) for t in texts]
-        sigs = hashing.minhash_signatures_batch(token_sets)
+        hls = hashing.shingle_hash_lists(list(texts))
+        sigs = hashing.minhash_signatures_from_hashes(hls)
         yield pd.Series([hashing.band_keys(sig) for sig in sigs])
 
 

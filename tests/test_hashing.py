@@ -82,3 +82,30 @@ def test_fingerprint_batch_matches_scalar():
     got = rolling_fingerprints_batch(texts)
     exp = [rolling_fingerprint(t) for t in texts]
     assert list(got) == exp
+
+
+def test_fused_shingle_hash_path_matches_spec():
+    """shingle_hash_lists + minhash_signatures_from_hashes (the banding
+    UDF's fused hot path) must be bit-identical to the two-step spec
+    (_word_shingles -> minhash_signatures_batch), including empties,
+    short texts, and heavy duplicate shingles."""
+    import random
+
+    import numpy as np
+
+    from mongo2neo_spark.functions.hashing import (
+        minhash_signatures_batch,
+        minhash_signatures_from_hashes,
+        shingle_hash_lists,
+    )
+    from mongo2neo_spark.operators.dedup import _word_shingles
+
+    rng = random.Random(17)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ] + ["", "a", "a b", "x y z", "dup dup dup dup dup"]
+    old = minhash_signatures_batch([_word_shingles(t) for t in texts])
+    new = minhash_signatures_from_hashes(shingle_hash_lists(texts))
+    assert np.array_equal(old, new)
