@@ -67,7 +67,7 @@ def _shingle_band_keys_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for texts in batches:
         hls = hashing.shingle_hash_lists(list(texts))
         sigs = hashing.minhash_signatures_from_hashes(hls)
-        yield pd.Series([hashing.band_keys(sig) for sig in sigs])
+        yield pd.Series(hashing.band_keys_batch(sigs))
 
 
 @pandas_udf(T.DoubleType())

@@ -109,3 +109,21 @@ def test_fused_shingle_hash_path_matches_spec():
     old = minhash_signatures_batch([_word_shingles(t) for t in texts])
     new = minhash_signatures_from_hashes(shingle_hash_lists(texts))
     assert np.array_equal(old, new)
+
+
+def test_band_keys_batch_matches_scalar():
+    import random
+
+    from mongo2neo_spark.functions.hashing import (
+        band_keys,
+        band_keys_batch,
+        minhash_signatures_from_hashes,
+        shingle_hash_lists,
+    )
+
+    rng = random.Random(23)
+    texts = ["", "a", " ".join(f"w{rng.randrange(30)}" for _ in range(50))]
+    texts += [" ".join(f"w{rng.randrange(30)}" for _ in range(20))
+              for _ in range(100)]
+    sigs = minhash_signatures_from_hashes(shingle_hash_lists(texts))
+    assert band_keys_batch(sigs) == [band_keys(s) for s in sigs]
