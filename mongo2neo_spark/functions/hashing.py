@@ -70,6 +70,7 @@ def minhash_signatures_batch(token_sets: Sequence[Iterable[str]]) -> np.ndarray:
 
 
 _TOKEN_HASH_MEMO: Dict[str, int] = {}
+_RAW_CRC_MEMO: Dict[str, int] = {}
 _MEMO_CAP = 4_000_000
 
 
@@ -192,6 +193,56 @@ def simhash(tokens: Iterable[str]) -> int:
         if acc[i] > 0:
             out |= 1 << i
     return out
+
+
+def simhash_batch(token_lists: Sequence[Sequence[str]]) -> np.ndarray:
+    """Vectorized batch :func:`simhash` (Spark pandas-UDF path): one
+    flattened (M, 64) bit matrix + ``add.reduceat`` per batch instead of
+    per-token numpy calls.  Token multisets (duplicates count), crc32
+    memoized; returns int64 two's-complement values, bit-identical to
+    the scalar spec (property-tested)."""
+    n = len(token_lists)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    flat: List[int] = []
+    offsets = np.empty(n, dtype=np.int64)
+    empties = []
+    crc = zlib.crc32
+    local = _RAW_CRC_MEMO  # raw crc32 (the %P memo is a different fn)
+    total = 0
+    for i, toks in enumerate(token_lists):
+        offsets[i] = total
+        cnt = 0
+        for t in toks:
+            h = local.get(t)
+            if h is None:
+                h = crc(t.encode("utf-8"))
+                if len(local) < _MEMO_CAP:
+                    local[t] = h
+            flat.append(h)
+            cnt += 1
+        if cnt == 0:
+            empties.append(i)
+            flat.append(0)  # placeholder row; zeroed below
+            cnt = 1
+        total += cnt
+    with np.errstate(over="ignore"):
+        z = np.asarray(flat, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h64 = z ^ (z >> np.uint64(31))
+    bits = (
+        (h64[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int64)
+    signs = 2 * bits - 1  # (M, 64) of ±1
+    acc = np.add.reduceat(signs, offsets, axis=0)  # (n, 64)
+    pos = acc > 0
+    if empties:
+        pos[np.asarray(empties)] = False  # spec: empty token list -> 0
+    weights = (np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64))
+    packed = (pos.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return packed.astype(np.int64)  # two's-complement == _to_i64 per value
 
 
 def _splitmix64(x: int) -> np.uint64:

@@ -339,9 +339,11 @@ def ngram_jaccard_dedup_components(
 # ---------------------------------------------------------------------------
 @pandas_udf(T.LongType())
 def _simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # vectorized batch path (flattened bit matrix + add.reduceat),
+    # bit-identical to the scalar hashing.simhash spec (property-tested)
     for texts in batches:
         yield pd.Series(
-            [_to_i64(hashing.simhash((t or "").split())) for t in texts],
+            hashing.simhash_batch([(t or "").split() for t in texts]),
             dtype="int64",
         )
 

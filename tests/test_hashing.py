@@ -127,3 +127,28 @@ def test_band_keys_batch_matches_scalar():
               for _ in range(100)]
     sigs = minhash_signatures_from_hashes(shingle_hash_lists(texts))
     assert band_keys_batch(sigs) == [band_keys(s) for s in sigs]
+
+
+def test_simhash_batch_matches_scalar():
+    import random
+    import time
+
+    from mongo2neo_spark.functions.hashing import simhash, simhash_batch
+
+    rng = random.Random(31)
+    words = [f"w{i}" for i in range(60)]
+    lists = [
+        [rng.choice(words) for _ in range(rng.randrange(0, 80))]
+        for _ in range(400)
+    ] + [[], ["one"], ["dup", "dup", "dup"]]
+    t0 = time.perf_counter()
+    got = list(simhash_batch(lists))
+    t_batch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    exp = []
+    for toks in lists:
+        u = simhash(toks)
+        exp.append(u - (1 << 64) if u >= (1 << 63) else u)
+    t_scalar = time.perf_counter() - t0
+    assert got == exp
+    assert t_batch < t_scalar  # the batch path must actually be faster
