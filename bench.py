@@ -145,6 +145,11 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
+    # the round-2 suite did not include curation_pipeline; this subtotal
+    # keeps cross-round wall comparisons apples-to-apples
+    r2_comparable = round(
+        sum(v for k, v in timings.items() if k != "curation_pipeline"), 3
+    )
     print(
         json.dumps(
             {
@@ -155,6 +160,7 @@ def main() -> None:
                 "sf": _sf_name(),
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / timings["kg_pipeline"], 1),
+                "r2_comparable_wall_sec": r2_comparable,
                 "cpus": int(CPUS),
             }
         )

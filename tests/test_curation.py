@@ -120,3 +120,62 @@ def test_curation_matches_pure_python_spec(spark, tmp_path):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_curation_partial_bucket_resume(spark, tmp_path):
+    """Simulated mid-profile failure: two profile buckets lose their
+    lineage rows + output partitions and all downstream stages are
+    unrecorded.  A resume=True rerun recomputes ONLY those two buckets
+    (new run_id) plus the downstream stages, and the final curated table
+    equals the from-scratch result."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    _docs_df(spark).write.parquet(str(tmp_path / "docs"))
+    paths = run_curation(
+        spark, str(tmp_path / "docs"), str(tmp_path / "out"),
+        CurationConfig(n_buckets=4, run_id="full"), resume=False,
+    )
+    expected = sorted(
+        map(tuple, spark.read.parquet(paths["curated"]).collect())
+    )
+
+    # damage: drop profile buckets 1,2 (lineage + data) and every
+    # downstream stage (lineage + outputs)
+    lin_mod = lin
+    kept = (
+        lin_mod.read_lineage(spark, str(tmp_path / "out"))
+        .filter(
+            (F.col("stage") == "profile")
+            & ~F.col("partition_key").isin("1", "2")
+        )
+        .collect()
+    )
+    shutil.rmtree(paths["lineage"])
+    lin_mod.record(
+        spark, str(tmp_path / "out"), "profile",
+        [(r.partition_key, r.input_rows, r.output_rows, r.checksum,
+          r.wall_ms) for r in kept],
+        "full",
+    )
+    for b in ("1", "2"):
+        shutil.rmtree(f"{paths['profiled']}/bucket={b}", ignore_errors=True)
+    for stage_out in ("exact", "neardup", "curated"):
+        shutil.rmtree(paths[stage_out], ignore_errors=True)
+
+    run_curation(
+        spark, str(tmp_path / "docs"), str(tmp_path / "out"),
+        CurationConfig(n_buckets=4, run_id="resume"), resume=True,
+    )
+    got = sorted(map(tuple, spark.read.parquet(paths["curated"]).collect()))
+    assert got == expected
+    prof = lin_mod.read_lineage(spark, str(tmp_path / "out")).filter(
+        F.col("stage") == "profile"
+    )
+    by_run = {
+        (r.partition_key, r.run_id) for r in prof.collect()
+    }
+    assert by_run == {
+        ("0", "full"), ("3", "full"), ("1", "resume"), ("2", "resume"),
+    }
