@@ -88,13 +88,22 @@ def minhash_cluster_rows(
     """Expected (id, component) rows of
     operators.dedup.minhash_dedup_components on the documents table:
     word-3-shingle MinHash -> LSH bands (capped) -> candidate pairs ->
-    exact-jaccard verify -> min-id union-find.
+    hashed-shingle-set jaccard verify -> min-id union-find.
+
+    The verify runs on the DISTINCT crc32%P hash set of each document's
+    shingles — exactly what the Spark paths compute (dedup
+    .shingle_hash_col / _shingle_jaccard_udf), so parity holds
+    bit-for-bit, crc collisions included.
 
     ``docs`` = (ids, texts) overrides the table read (used by the
     curation-pipeline oracle, which runs this on the exact-dedup
     survivors only)."""
     ids, texts = docs if docs is not None else _read_docs(sf_dir)
     shingles = {int(i): _word_shingles(t) for i, t in zip(ids, texts)}
+    hsets = {
+        i: frozenset(hashing.token_hash(s) for s in sh)
+        for i, sh in shingles.items()
+    }
     buckets: dict = defaultdict(list)
     for i in sorted(shingles):
         sig = hashing.minhash_signature(shingles[i])
@@ -116,7 +125,7 @@ def minhash_cluster_rows(
             for bi in range(ai + 1, len(members)):
                 pairs.add((members[ai], members[bi]))
     for a, b in sorted(pairs):
-        if _jaccard(shingles[a], shingles[b]) >= threshold:
+        if _jaccard(hsets[a], hsets[b]) >= threshold:
             ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)

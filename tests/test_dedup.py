@@ -53,11 +53,14 @@ def test_minhash_dedup_identical_texts(spark):
 
 
 def test_jvm_shingle_jaccard_equals_python_spec(spark):
-    """The JVM-side verify (array_intersect/array_union over
-    transform-built shingle arrays) must produce bit-identical jaccard
-    values to the pure-Python spec, including the edge cases: empty
-    text, whitespace-only, fewer-than-n tokens, runs of whitespace."""
+    """Both verify paths — string-shingle jaccard (shingle_jaccard_col)
+    and the hashed-set jaccard the dedup pipeline actually runs
+    (shingle_hash_col arrays / _shingle_jaccard_udf) — must be
+    bit-identical to their pure-Python specs, including the edge cases:
+    empty text, whitespace-only, fewer-than-n tokens, whitespace runs."""
     from pyspark.sql import functions as F
+
+    from mongo2neo_spark.functions.hashing import token_hash
 
     texts = [
         "", "   ", "one", "one two", "one two three",
@@ -69,16 +72,29 @@ def test_jvm_shingle_jaccard_equals_python_spec(spark):
         pd.DataFrame({"a_t": [p[0] for p in pairs],
                       "b_t": [p[1] for p in pairs]})
     )
+    ha, hb = (dedup.shingle_hash_col(F.col(c)) for c in ("a_t", "b_t"))
+    u_h = F.size(F.array_union(ha, hb))
+    i_h = F.size(F.array_intersect(ha, hb))
     out = df.select(
         "a_t", "b_t",
-        dedup.shingle_jaccard_col(F.col("a_t"), F.col("b_t")).alias("jvm"),
+        dedup.shingle_jaccard_col(F.col("a_t"), F.col("b_t")).alias("jvm_str"),
+        F.when(u_h == 0, F.lit(1.0))
+        .otherwise(i_h.cast("double") / u_h.cast("double"))
+        .alias("jvm_hash"),
         dedup._shingle_jaccard_udf(F.col("a_t"), F.col("b_t")).alias("py"),
     ).collect()
     for r in out:
         sa, sb = dedup._word_shingles(r.a_t), dedup._word_shingles(r.b_t)
         u = len(sa | sb)
-        spec = len(sa & sb) / u if u else 1.0
-        assert r.jvm == r.py == spec, (r.a_t, r.b_t, r.jvm, r.py, spec)
+        spec_str = len(sa & sb) / u if u else 1.0
+        hsa = {token_hash(s) for s in sa}
+        hsb = {token_hash(s) for s in sb}
+        uh = len(hsa | hsb)
+        spec_hash = len(hsa & hsb) / uh if uh else 1.0
+        assert r.jvm_str == spec_str, (r.a_t, r.b_t, r.jvm_str, spec_str)
+        assert r.jvm_hash == r.py == spec_hash, (
+            r.a_t, r.b_t, r.jvm_hash, r.py, spec_hash,
+        )
 
 
 def test_minhash_components_jvm_matches_python_verify(spark):
@@ -165,3 +181,22 @@ def test_ngram_jaccard_prefix_filter_is_complete(spark):
     comp = dict(got)
     assert comp[0] == comp[1] == comp[2] == comp[3]
     assert comp[4] != comp[0]
+
+
+def test_shingle_hash_udf_equals_jvm_col_as_sets(spark):
+    """The Arrow hash-array builder (_shingle_hashes_udf, the verify's
+    corpus-side pass) and the JVM reference column (shingle_hash_col)
+    must agree as SETS on every edge case."""
+    from pyspark.sql import functions as F
+
+    texts = ["", "   ", "one", "one two", "one two three",
+             "one two three four five", "one  two\tthree  four",
+             "dup dup dup dup dup", "a b c a b c a b c"]
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    out = df.select(
+        "t",
+        F.sort_array(dedup._shingle_hashes_udf(F.col("t"))).alias("udf"),
+        F.sort_array(dedup.shingle_hash_col(F.col("t"))).alias("jvm"),
+    ).collect()
+    for r in out:
+        assert list(r.udf) == list(r.jvm), (r.t, r.udf, r.jvm)
