@@ -376,6 +376,26 @@ def ngram_jaccard_dedup_components(
         .dropDuplicates(["a_id", "b_id"])
     )
     sh = hashed.select("id", "_sh")
+    # exact length prefilter, same bound as the MinHash path: with
+    # |A| <= |B|, jaccard <= |A|/|B|, so pairs outside the size-ratio
+    # band can never pass — drop them on a 16 B/doc map before the
+    # shingle arrays ship
+    sizes = sh.select("id", F.size("_sh").alias("_n"))
+    pairs = (
+        pairs.join(
+            sizes.select(F.col("id").alias("a_id"), F.col("_n").alias("a_n")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("id").alias("b_id"), F.col("_n").alias("b_n")),
+            "b_id",
+        )
+        .filter(
+            F.least("a_n", "b_n").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("a_n", "b_n")
+        )
+        .select("a_id", "b_id")
+    )
     with_sets = pairs.join(
         sh.select(F.col("id").alias("a_id"), F.col("_sh").alias("a_s")), "a_id"
     ).join(
