@@ -71,7 +71,11 @@ def minhash_signatures_batch(token_sets: Sequence[Iterable[str]]) -> np.ndarray:
 
 _TOKEN_HASH_MEMO: Dict[str, int] = {}
 _RAW_CRC_MEMO: Dict[str, int] = {}
-_MEMO_CAP = 4_000_000
+# per-Python-worker cap: ~170 MB at 1M typical shingles; with 32 reused
+# workers that bounds memo memory at a few GB per executor host even on
+# unbounded-vocabulary corpora (the memo is an accelerator, not a
+# correctness dependency — misses just recompute the crc)
+_MEMO_CAP = 1_000_000
 
 
 def shingle_hash_lists(texts: Sequence[str], n: int = 3) -> List[List[int]]:
