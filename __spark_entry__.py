@@ -827,6 +827,144 @@ FROM documents GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# repetition profile (Gopher/C4-style): word/n-gram/line repetition signals
+# + composite keep verdict, all JVM-side (operators/text.repetition_profile)
+# ---------------------------------------------------------------------------
+def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return textops.repetition_profile(docs).select(
+        "doc_id", "n_words", "dup_word_frac", "n_lines", "dup_line_frac",
+        "dup_line_char_frac", "top_bigram_cov", "dup_trigram_cov", "keep",
+    )
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS w,
+         length(regexp_replace(text, '\s', '', 'g')) AS chars_total,
+         list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                     s -> length(s) > 0) AS lines
+  FROM documents
+),
+arrm AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         ROUND(CASE WHEN len(w) > 0
+               THEN (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE)
+               ELSE 0.0 END, 6) AS dup_word_frac,
+         chars_total,
+         len(lines) AS n_lines,
+         ROUND(CASE WHEN len(lines) > 0
+               THEN (len(lines) - len(list_distinct(lines)))
+                    / CAST(len(lines) AS DOUBLE)
+               ELSE 0.0 END, 6) AS dup_line_frac,
+         ROUND(CASE WHEN COALESCE(list_sum(list_transform(lines, s -> length(s))), 0) > 0
+               THEN (list_sum(list_transform(lines, s -> length(s)))
+                     - list_sum(list_transform(list_distinct(lines), s -> length(s))))
+                    / CAST(list_sum(list_transform(lines, s -> length(s))) AS DOUBLE)
+               ELSE 0.0 END, 6) AS dup_line_char_frac
+  FROM base
+),
+grams AS (
+  SELECT doc_id, 2 AS n,
+         unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+             generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
+           ELSE [] END) AS gram
+  FROM base
+  UNION ALL
+  SELECT doc_id, 3,
+         unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+           ELSE [] END)
+  FROM base
+),
+gc AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt,
+         length(regexp_replace(gram, '\s', '', 'g')) AS gchars
+  FROM grams GROUP BY doc_id, n, gram
+),
+gm AS (
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN n = 2 THEN cnt * gchars END), 0) AS top2,
+         COALESCE(SUM(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * gchars END), 0) AS dup3
+  FROM gc GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_words, a.dup_word_frac, a.n_lines, a.dup_line_frac,
+       a.dup_line_char_frac,
+       ROUND(LEAST(COALESCE(g.top2, 0) / CAST(GREATEST(a.chars_total, 1) AS DOUBLE), 1.0), 6) AS top_bigram_cov,
+       ROUND(LEAST(COALESCE(g.dup3, 0) / CAST(GREATEST(a.chars_total, 1) AS DOUBLE), 1.0), 6) AS dup_trigram_cov,
+       (a.n_words >= 10
+        AND a.dup_word_frac < 0.9
+        AND ROUND(LEAST(COALESCE(g.top2, 0) / CAST(GREATEST(a.chars_total, 1) AS DOUBLE), 1.0), 6) < 0.2
+        AND ROUND(LEAST(COALESCE(g.dup3, 0) / CAST(GREATEST(a.chars_total, 1) AS DOUBLE), 1.0), 6) < 0.3
+        AND a.dup_line_frac < 0.3) AS keep
+FROM arrm a LEFT JOIN gm g USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling + global shuffle (operators/sampling):
+# md5-hash-driven, cluster-size-independent, bit-reproducible in SQL
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"en": 1.0, "de": 0.6, "fr": 0.25, "zh": 0.1}
+
+
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs, _MIX_RATES, domain_col="lang", id_col="doc_id", seed=42
+    ).select("doc_id", "lang", "source")
+
+
+_MIXTURE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         list_reduce(
+           list_transform(generate_series(1, 15),
+             i -> strpos('0123456789abcdef',
+                         substr(md5('42:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+           (a, b) -> a * 16 + b) % 1000000 AS hv
+  FROM documents
+)
+SELECT doc_id, lang, source FROM h
+WHERE hv < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 600000
+                     WHEN 'fr' THEN 250000 WHEN 'zh' THEN 100000 ELSE 0 END
+"""
+
+
+def shuffle_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    top = sampling.deterministic_shuffle(docs, id_col="doc_id", seed=7).select(
+        "doc_id", "shuffle_key"
+    ).limit(100)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    # row_number over the already-limited 100 rows (TakeOrderedAndProject
+    # upstream); the single-partition window never sees more than k rows
+    return top.select(
+        "doc_id", "shuffle_key",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+_SHUFFLE_ORDER_SQL = """
+SELECT doc_id,
+       md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -872,6 +1010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rms_chars_by_lang": rms_chars_by_lang,
         "asof_click_to_signup": asof_click_to_signup,
         "asof_bucketed_click_to_signup": asof_bucketed_click_to_signup,
+        "repetition_profile_documents": repetition_profile_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "shuffle_order_documents": shuffle_order_documents,
     }
 
 
@@ -920,6 +1061,9 @@ def oracle_sql() -> dict[str, str]:
         "rms_chars_by_lang": _RMS_CHARS_SQL,
         "asof_click_to_signup": _ASOF_SQL,
         "asof_bucketed_click_to_signup": _ASOF_SQL,
+        "repetition_profile_documents": _REPETITION_SQL,
+        "mixture_sample_documents": _MIXTURE_SQL,
+        "shuffle_order_documents": _SHUFFLE_ORDER_SQL,
     }
 
 

@@ -116,3 +116,151 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("pred_lang"),
         fingerprint_udf(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition signals.  Definitions (documented variants of
+# the published heuristics, chosen to be deterministic and exactly
+# SQL-mirrorable — no tie-breaking on "the most frequent n-gram"):
+#
+#   dup_word_frac       (n_words - n_distinct_words) / n_words — fraction of
+#                       word occurrences that are repeats of an earlier word.
+#   top_bigram_cov      max over word-2-grams of count * non-space-chars,
+#                       over total non-space chars, capped at 1.0 — the
+#                       weighted-coverage variant of Gopher's "fraction of
+#                       characters in the most frequent 2-gram" (the max of
+#                       products needs no tie-break, unlike argmax).
+#   dup_trigram_cov     sum over word-3-grams occurring >= 2 times of
+#                       count * non-space-chars, over total non-space chars,
+#                       capped at 1.0 — weighted-coverage variant of
+#                       "fraction of characters in duplicated 3-grams".
+#   dup_line_frac       (n_lines - n_distinct_lines) / n_lines over trimmed
+#                       non-blank lines (C4/Gopher duplicate-line signal).
+#   dup_line_char_frac  chars in excess duplicate line occurrences / chars
+#                       in all lines.
+#
+# Line metrics are pure array expressions (zero shuffle); the n-gram counts
+# need a real distributed count, done scalably as explode ->
+# groupBy(doc_id, n, gram) -> groupBy(doc_id): both shuffles are keyed by
+# doc-id-prefixed keys, so they distribute evenly at any corpus size, and
+# the final join is doc-count-sized on both sides.
+# ---------------------------------------------------------------------------
+def _agg_char_len(arr) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _words(c) -> Column:
+    return F.split(F.trim(c), r"\s+")
+
+
+def _word_ngrams(words, n: int) -> Column:
+    """Array of space-joined word n-grams (empty if fewer than n words)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(F.size(words) >= n, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (see block comment above) plus a
+    composite ``keep`` verdict with Gopher-flavored thresholds."""
+    c = F.col(text_col)
+    words = _words(c)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    line_chars = _agg_char_len(lines)
+    base = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.when(F.size(words) > 0,
+                   (F.size(words) - F.size(F.array_distinct(words)))
+                   .cast("double") / F.size(words)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        F.length(F.regexp_replace(c, r"\s", "")).alias("_chars"),
+        n_lines.alias("n_lines"),
+        F.round(
+            F.when(n_lines > 0,
+                   (n_lines - F.size(F.array_distinct(lines)))
+                   .cast("double") / n_lines).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(line_chars > 0,
+                   (line_chars - _agg_char_len(F.array_distinct(lines)))
+                   .cast("double") / line_chars).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    grams = base.select(
+        id_col,
+        "_chars",
+        F.explode(
+            F.concat(
+                F.transform(
+                    _word_ngrams(F.col("_w"), 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    _word_ngrams(F.col("_w"), 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        id_col, "_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    gram_counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("cnt"), F.first("_chars").alias("_chars")
+    ).withColumn(
+        "gchars", F.length(F.regexp_replace("gram", r"\s", ""))
+    )
+    gram_metrics = gram_counts.groupBy(id_col).agg(
+        F.round(
+            F.least(
+                F.coalesce(
+                    F.max(F.when(F.col("n") == 2,
+                                 F.col("cnt") * F.col("gchars"))), F.lit(0)
+                ).cast("double") / F.greatest(F.first("_chars"), F.lit(1)),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("top_bigram_cov"),
+        F.round(
+            F.least(
+                F.coalesce(
+                    F.sum(F.when((F.col("n") == 3) & (F.col("cnt") >= 2),
+                                 F.col("cnt") * F.col("gchars"))), F.lit(0)
+                ).cast("double") / F.greatest(F.first("_chars"), F.lit(1)),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("dup_trigram_cov"),
+    )
+
+    out = base.drop("_w", "_chars").join(
+        gram_metrics, id_col, "left"
+    ).fillna({"top_bigram_cov": 0.0, "dup_trigram_cov": 0.0})
+    return out.select(
+        "*",
+        (
+            (F.col("n_words") >= 10)
+            & (F.col("dup_word_frac") < 0.9)
+            & (F.col("top_bigram_cov") < 0.2)
+            & (F.col("dup_trigram_cov") < 0.3)
+            & (F.col("dup_line_frac") < 0.3)
+        ).alias("keep"),
+    )

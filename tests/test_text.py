@@ -71,3 +71,66 @@ def test_text_profile_shape(spark):
         "n_tokens", "n_bpe_tokens", "quality", "pred_lang", "fingerprint"
     }
     assert prof.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# repetition profile (Gopher/C4-style signals)
+# ---------------------------------------------------------------------------
+def _rep(spark, texts):
+    rows = textops.repetition_profile(_docs(spark, texts)).collect()
+    return {r.doc_id: r.asDict() for r in rows}
+
+
+def test_repetition_dup_word_frac(spark):
+    out = _rep(spark, ["a b c d", "a a a a", "x y x y"])
+    assert out[0]["dup_word_frac"] == 0.0
+    assert out[1]["dup_word_frac"] == 0.75   # 3 of 4 are repeats
+    assert out[2]["dup_word_frac"] == 0.5
+
+
+def test_repetition_top_bigram_cov(spark):
+    # "ab cd" repeated: bigram "ab cd" occurs 3x, each 4 non-space chars,
+    # doc non-space chars = 12 -> weighted coverage capped at 1.0
+    out = _rep(spark, ["ab cd ab cd ab cd", "p q r s"])
+    assert out[0]["top_bigram_cov"] == 1.0
+    # unique bigrams: max cnt*chars = 1*2 over 4 chars = 0.5
+    assert out[1]["top_bigram_cov"] == 0.5
+
+
+def test_repetition_dup_trigram_cov(spark):
+    # trigram "a b c" occurs twice (6 occ-chars over 8 total = 0.75);
+    # no other trigram repeats
+    out = _rep(spark, ["a b c x a b c y", "u v w z"])
+    assert out[0]["dup_trigram_cov"] == 0.75
+    assert out[1]["dup_trigram_cov"] == 0.0
+
+
+def test_repetition_line_metrics(spark):
+    doc = "hello world\nhello world\nunique line\n\n  \nhello world"
+    out = _rep(spark, [doc, "single line"])
+    m = out[0]
+    assert m["n_lines"] == 4
+    # 3x "hello world" (2 excess) of 4 lines
+    assert m["dup_line_frac"] == 0.5
+    # chars: 3*11 + 11 excess=22 over 44
+    assert m["dup_line_char_frac"] == 0.5
+    assert out[1]["n_lines"] == 1
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["dup_line_char_frac"] == 0.0
+
+
+def test_repetition_short_docs(spark):
+    # fewer than 2 or 3 words: gram arrays are empty, metrics are 0
+    out = _rep(spark, ["word", "two words", ""])
+    assert out[0]["top_bigram_cov"] == 0.0
+    assert out[0]["dup_trigram_cov"] == 0.0
+    assert out[1]["dup_trigram_cov"] == 0.0
+    assert out[2]["top_bigram_cov"] == 0.0
+
+
+def test_repetition_keep_verdict(spark):
+    good = " ".join(f"w{i}" for i in range(30))
+    bad = "spam ham " * 50
+    out = _rep(spark, [good, bad])
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False
