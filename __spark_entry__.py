@@ -965,6 +965,51 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# the FULL training-data assembly: curation pipeline with the repetition
+# filter and the deterministic mixture-sample + training-shuffle stage
+# enabled (plans/curation.py stages 1-5).  The oracle composes the three
+# independently-validated pieces: the curation survivor oracle, the
+# repetition keep verdict, and the md5 mixture hash — all intersections,
+# because every stage is a pure per-doc predicate over upstream survivors.
+# ---------------------------------------------------------------------------
+def curation_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mongo2neo_spark.plans.curation import CurationConfig, run_curation
+
+    out = tempfile.mkdtemp(prefix="m2n_curation_full_")
+    paths = run_curation(
+        spark, f"{sf_dir}/documents.parquet", f"{out}/cur",
+        CurationConfig(
+            n_buckets=8, repetition_filter=True,
+            mixture_rates={"en": 0.8}, sample_seed=42,
+        ),
+        resume=False,
+    )
+    return spark.read.parquet(paths["sampled"]).select(
+        "doc_id", "pred_lang", "shuffle_key"
+    )
+
+
+def _curation_sampled_sql() -> str:
+    cur = _eo().curation_sql(_QUALITY_SQL, _lang_id_sql(), _TOKEN_COUNTS_SQL)
+    return f"""
+WITH cur AS ({cur}),
+rep AS ({_REPETITION_SQL})
+SELECT cur.doc_id, cur.pred_lang,
+       md5('42:' || CAST(cur.doc_id AS VARCHAR)) AS shuffle_key
+FROM cur JOIN rep ON cur.doc_id = rep.doc_id
+WHERE rep.keep
+  AND list_reduce(
+        list_transform(generate_series(1, 15),
+          i -> strpos('0123456789abcdef',
+                      substr(md5('42:' || CAST(cur.doc_id AS VARCHAR)), i, 1)) - 1),
+        (a, b) -> a * 16 + b) % 1000000
+      < CASE cur.pred_lang WHEN 'en' THEN 800000 ELSE 0 END
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1013,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile_documents": repetition_profile_documents,
         "mixture_sample_documents": mixture_sample_documents,
         "shuffle_order_documents": shuffle_order_documents,
+        "curation_sampled": curation_sampled,
     }
 
 
@@ -1064,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_profile_documents": _REPETITION_SQL,
         "mixture_sample_documents": _MIXTURE_SQL,
         "shuffle_order_documents": _SHUFFLE_ORDER_SQL,
+        "curation_sampled": _curation_sampled_sql(),
     }
 
 

@@ -3,7 +3,8 @@ sibling of plans.pipeline for the data-curation operator family
 (driver brief: these are first-class components, so they get the same
 lineage / idempotent-resume / scaling plumbing as the KG pipeline):
 
-    profile  -> exact dedup -> minhash near-dup -> quality/lang filter
+    profile -> exact dedup -> minhash near-dup -> quality/lang filter
+            [-> repetition filter] [-> mixture sample + training shuffle]
 
     spark-submit --py-files m2n.zip -m mongo2neo_spark.plans.curation \
         --input <documents parquet/iceberg> --out <dir> [--no-resume]
@@ -21,7 +22,17 @@ Stage shapes at 100 TB:
 - **neardup** (global): MinHash/LSH banding where the band stream is
   (id, band_key) only, JVM-side jaccard verify, min-id CC survivors.
 - **filter** (global, trivially parallel): quality >= threshold AND
-  allowed predicted language; pure codegen expressions.
+  allowed predicted language; pure codegen expressions.  With
+  ``repetition_filter=True`` the Gopher-style repetition verdict
+  (operators.text.repetition_profile, computed on the already-deduped
+  survivors — a pure function of the text, so stage order cannot change
+  the verdict) is applied in the same stage.
+- **sample** (optional, ``mixture_rates``): deterministic md5-hash
+  mixture sampling by predicted language (operators.sampling — a pure
+  narrow filter) followed by the training-order shuffle: rows are
+  range-repartitioned and sorted by the hash key, so a reader consuming
+  the output files in name order sees the global deterministic shuffle
+  order without any single-partition sort.
 
 Each stage records lineage and is skipped on resume when its lineage
 rows exist; re-running a completed pipeline is a no-op (tested).
@@ -32,13 +43,14 @@ from __future__ import annotations
 import argparse
 import uuid
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing
 from ..operators import dedup as dedup_mod
+from ..operators import sampling as sampling_mod
 from ..operators import skew as skew_mod
 from ..operators import text as text_mod
 from ..sources import io as m2nio
@@ -52,6 +64,9 @@ class CurationConfig:
     band_cap: int = hashing.BAND_CAP
     min_quality: float = 0.5
     langs: Tuple[str, ...] = ("en",)
+    repetition_filter: bool = False    # apply the Gopher-style keep verdict
+    mixture_rates: Optional[Mapping[str, float]] = None  # stage 5 when set
+    sample_seed: int = 42
     run_id: str = ""
 
     def __post_init__(self):
@@ -74,10 +89,14 @@ def run_curation(
         "curated": f"{out_dir}/curated",
         "lineage": lin.lineage_path(out_dir),
     }
+    if cfg.mixture_rates is not None:
+        paths["sampled"] = f"{out_dir}/sampled"
     _stage_profile(spark, input_source, paths, cfg, resume)
     _stage_exact(spark, paths, cfg, resume)
     _stage_neardup(spark, paths, cfg, resume)
     _stage_filter(spark, paths, cfg, resume)
+    if cfg.mixture_rates is not None:
+        _stage_sample(spark, paths, cfg, resume)
     return paths
 
 
@@ -127,7 +146,8 @@ def _stage_profile(spark, input_source, paths, cfg, resume) -> None:
 # ---------------------------------------------------------------------------
 # stages 2-4: global stages (whole-stage lineage, resume = skip)
 # ---------------------------------------------------------------------------
-def _global_stage(spark, paths, cfg, resume, stage, produce) -> None:
+def _global_stage(spark, paths, cfg, resume, stage, produce,
+                  partition_by=("bucket",)) -> None:
     """Shared shape: read -> transform -> observed write -> lineage row.
 
     ``produce`` returns (df, n_in); the drop audit (n_in minus the
@@ -142,7 +162,7 @@ def _global_stage(spark, paths, cfg, resume, stage, produce) -> None:
         df, n_in = produce()
         obs, df = lin.observe_table_metrics(df)
         m2nio.write_table(
-            df, paths[_STAGE_OUT[stage]], partition_by=["bucket"],
+            df, paths[_STAGE_OUT[stage]], partition_by=list(partition_by),
             options={"parquet.block.size": m2nio.INTERMEDIATE_ROW_GROUP_BYTES},
         )
     got = obs.get
@@ -155,7 +175,8 @@ def _global_stage(spark, paths, cfg, resume, stage, produce) -> None:
     )
 
 
-_STAGE_OUT = {"exact": "exact", "neardup": "neardup", "filter": "curated"}
+_STAGE_OUT = {"exact": "exact", "neardup": "neardup", "filter": "curated",
+              "sample": "sampled"}
 
 
 def _stage_exact(spark, paths, cfg, resume) -> None:
@@ -189,9 +210,42 @@ def _stage_filter(spark, paths, cfg, resume) -> None:
             (F.col("quality") >= cfg.min_quality)
             & F.col("pred_lang").isin(list(cfg.langs))
         )
+        if cfg.repetition_filter:
+            # the verdict is a pure function of the text, so computing it
+            # on the already-deduped/filtered survivors (the smallest
+            # possible input) gives the same answer as on the raw corpus
+            rep_keep = text_mod.repetition_profile(kept).filter(
+                "keep"
+            ).select("doc_id")
+            kept = kept.join(rep_keep, "doc_id", "left_semi")
         return kept, nd.count()
 
     _global_stage(spark, paths, cfg, resume, "filter", produce)
+
+
+def _stage_sample(spark, paths, cfg, resume) -> None:
+    def produce():
+        cur = spark.read.parquet(paths["curated"])
+        kept = sampling_mod.mixture_sample(
+            cur, cfg.mixture_rates, domain_col="pred_lang",
+            id_col="doc_id", seed=cfg.sample_seed,
+        )
+        key = F.md5(F.concat_ws(
+            ":", F.lit(str(cfg.sample_seed)), F.col("doc_id").cast("string")
+        ))
+        # training-order shuffle without a single-partition sort: range
+        # partitioning on the hash key + in-partition sort means reading
+        # the output part files in name order replays the exact global
+        # deterministic order of sampling.deterministic_shuffle
+        kept = (
+            kept.withColumn("shuffle_key", key)
+            .repartitionByRange("shuffle_key")
+            .sortWithinPartitions("shuffle_key", "doc_id")
+        )
+        return kept, cur.count()
+
+    _global_stage(spark, paths, cfg, resume, "sample", produce,
+                  partition_by=())
 
 
 def main(argv=None) -> None:
@@ -205,11 +259,27 @@ def main(argv=None) -> None:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--repetition-filter", action="store_true",
+                    help="apply the Gopher-style repetition keep verdict")
+    ap.add_argument("--mixture", default=None,
+                    help="lang=rate[,lang=rate...] deterministic mixture "
+                         "sample + training-order shuffle stage")
+    ap.add_argument("--sample-seed", type=int, default=42)
     args = ap.parse_args(argv)
     spark = get_spark(
         master=args.master, shuffle_partitions=args.shuffle_partitions
     )
-    cfg = CurationConfig(n_buckets=args.buckets, min_quality=args.min_quality)
+    rates = None
+    if args.mixture:
+        rates = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.mixture.split(","))
+        }
+    cfg = CurationConfig(
+        n_buckets=args.buckets, min_quality=args.min_quality,
+        repetition_filter=args.repetition_filter,
+        mixture_rates=rates, sample_seed=args.sample_seed,
+    )
     paths = run_curation(
         spark, args.input, args.out, cfg, resume=not args.no_resume
     )

@@ -179,3 +179,107 @@ def test_curation_partial_bucket_resume(spark, tmp_path):
     assert by_run == {
         ("0", "full"), ("3", "full"), ("1", "resume"), ("2", "resume"),
     }
+
+
+# ---------------------------------------------------------------------------
+# extended stages: repetition filter + mixture sample / training shuffle
+# ---------------------------------------------------------------------------
+def _full_cfg(**kw):
+    base = dict(
+        n_buckets=4, repetition_filter=True,
+        mixture_rates={"en": 1.0}, sample_seed=42,
+    )
+    base.update(kw)
+    return CurationConfig(**base)
+
+
+def test_curation_repetition_filter_drops_repetitive(spark, tmp_path):
+    import hashlib
+
+    texts = _docs_df(spark).toPandas().set_index("doc_id")["text"].to_dict()
+    spam = "buy now " * 60  # high dup_word_frac + bigram coverage
+    texts[7] = spam
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": [texts[k] for k in texts]})
+    )
+    df.write.parquet(str(tmp_path / "docs"))
+    paths = run_curation(
+        spark, str(tmp_path / "docs"), str(tmp_path / "out"),
+        _full_cfg(run_id="rep1"), resume=False,
+    )
+    sampled = spark.read.parquet(paths["sampled"])
+    ids = {r.doc_id for r in sampled.select("doc_id").collect()}
+    assert 7 not in ids          # repetitive spam dropped
+    assert 0 in ids and 6 in ids  # real docs with rate 1.0 survive
+    # shuffle keys are the md5 of (seed, id)
+    for r in sampled.collect():
+        assert r.shuffle_key == hashlib.md5(f"42:{r.doc_id}".encode()).hexdigest()
+
+
+def test_curation_sample_rate_and_resume(spark, tmp_path):
+    n = 400
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(n),
+            "text": [
+                " ".join(f"w{i}x{j}" for j in range(60))
+                + f" the of and to is in doc{i}"
+                for i in range(n)
+            ],
+        })
+    )
+    df.write.parquet(str(tmp_path / "docs"))
+    cfg = _full_cfg(mixture_rates={"en": 0.5}, run_id="rate1")
+    paths = run_curation(
+        spark, str(tmp_path / "docs"), str(tmp_path / "out"), cfg,
+        resume=False,
+    )
+    sampled = spark.read.parquet(paths["sampled"])
+    n_curated = spark.read.parquet(paths["curated"]).count()
+    n_sampled = sampled.count()
+    assert 0.3 * n_curated <= n_sampled <= 0.7 * n_curated
+    # resume: re-run is a no-op (same files, same count)
+    import os
+    mtimes = {
+        f: os.path.getmtime(os.path.join(paths["sampled"], f))
+        for f in os.listdir(paths["sampled"]) if f.endswith(".parquet")
+    }
+    paths2 = run_curation(
+        spark, str(tmp_path / "docs"), str(tmp_path / "out"), cfg,
+        resume=True,
+    )
+    assert spark.read.parquet(paths2["sampled"]).count() == n_sampled
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(paths2["sampled"], f)) == m
+
+
+def test_curation_sampled_file_order_is_global_shuffle_order(spark, tmp_path):
+    import os
+
+    n = 300
+    # per-doc-unique vocabulary so near-dup keeps every doc distinct
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(n),
+            "text": [
+                " ".join(f"w{i}x{j}" for j in range(60))
+                + f" the of and to is in doc{i}"
+                for i in range(n)
+            ],
+        })
+    )
+    df.write.parquet(str(tmp_path / "docs"))
+    paths = run_curation(
+        spark, str(tmp_path / "docs"), str(tmp_path / "out"),
+        _full_cfg(repetition_filter=False, run_id="ord1"), resume=False,
+    )
+    # reading part files in name order must replay the global hash order
+    files = sorted(
+        f for f in os.listdir(paths["sampled"]) if f.endswith(".parquet")
+    )
+    keys = []
+    for f in files:
+        pdf = pd.read_parquet(os.path.join(paths["sampled"], f))
+        keys.extend(zip(pdf["shuffle_key"], pdf["doc_id"]))
+    assert len(keys) > 1
+    assert keys == sorted(keys)
