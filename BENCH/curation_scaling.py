@@ -67,6 +67,9 @@ def run_at(n_execs: int, zpath: str) -> dict:
         spark_submit_bin(),
         "--master", f"local-cluster[{n_execs},{EXEC_CORES},{EXEC_MEM_MB}]",
         "--driver-memory", "4g",
+        # local-cluster's third arg is worker memory; executor heap must
+        # be set explicitly or it defaults to 1g
+        "--conf", f"spark.executor.memory={EXEC_MEM_MB - 1024}m",
         "--conf", "spark.sql.shuffle.partitions=128",
         "--conf", "spark.local.dir=/dev/shm/m2n-spark-local",
         "--py-files", zpath,

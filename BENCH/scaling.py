@@ -139,6 +139,9 @@ def run_at(n_execs: int, zpath: str) -> dict:
         spark_submit_bin(),
         "--master", f"local-cluster[{n_execs},{EXEC_CORES},{EXEC_MEM_MB}]",
         "--driver-memory", "4g",
+        # the local-cluster third arg is the WORKER's memory budget; the
+        # executor JVM still defaults to 1g unless set explicitly
+        "--conf", f"spark.executor.memory={EXEC_MEM_MB - 1024}m",
         # SAME job at both sizes: identical shuffle width etc.
         "--conf", "spark.sql.shuffle.partitions=128",
         # tmpfs shuffle dirs + output: models per-node local SSDs and
