@@ -220,18 +220,58 @@ def extract_jvm(turns: DataFrame) -> DataFrame:
     )
 
 
-def extract_arrow(turns: DataFrame) -> DataFrame:
-    """Arrow-batched fallback path: one pandas-UDF island that runs the
-    shared ``rules`` module verbatim (parity-by-construction with the
-    pure-Python oracle).  Used for rule experiments that outgrow the
-    regular-language JVM form; tests assert jvm == arrow on every
-    fixture corpus."""
-    return turns.select(
-        "conv_id", "turn_idx", "ts", extract_turn_udf(F.col("text")).alias("ex")
+def _empty_extract_struct():
+    """A typed all-empty EXTRACT_TYPE value, built JVM-side."""
+    return F.struct(
+        F.array().cast("array<int>").alias("m_start"),
+        F.array().cast("array<int>").alias("m_end"),
+        F.array().cast("array<string>").alias("m_surface"),
+        F.array().cast("array<string>").alias("m_norm"),
+        F.array().cast("array<string>").alias("m_kind"),
+        F.array().cast("array<int>").alias("t_subj"),
+        F.array().cast("array<string>").alias("t_pred"),
+        F.array().cast("array<int>").alias("t_obj"),
     )
 
 
-def extract(turns: DataFrame, impl: str = "arrow") -> DataFrame:
+def extract_arrow(turns: DataFrame, gate: bool = False) -> DataFrame:
+    """Arrow-batched path: one pandas-UDF island that runs the shared
+    ``rules`` module verbatim (parity-by-construction with the
+    pure-Python oracle); tests assert jvm == arrow on every fixture
+    corpus.
+
+    ``gate=True`` pre-filters with a sound JVM predicate before the
+    Arrow transfer: MENTION_RE can only match where an ASCII uppercase
+    letter exists, so ``rlike '[A-Z]'`` has no false negatives — rows
+    failing it get a typed empty struct without ever crossing into
+    Python (~30% of turns on the contract corpus skip the transfer).
+    Wrapping the UDF in ``when(gate, udf(...))`` would NOT help: Spark
+    extracts UDFs and evaluates them on the whole projected batch, so
+    the skip must be a plan branch.
+
+    Default OFF, by measurement: at 149k turns / local[32] the
+    two-branch union (double input pass + rlike on every row + 2x task
+    scheduling) costs more than the skipped 30% of Arrow transfer
+    (best-of-3: 0.88s ungated vs 1.11s gated).  The gate wins only when
+    the skipped fraction is large or rows are much wider than this
+    corpus's — it stays available for those shapes, parity-tested."""
+    if not gate:
+        return turns.select(
+            "conv_id", "turn_idx", "ts",
+            extract_turn_udf(F.col("text")).alias("ex"),
+        )
+    cand = F.coalesce(F.col("text"), F.lit("")).rlike("[A-Z]")
+    hit = turns.where(cand).select(
+        "conv_id", "turn_idx", "ts",
+        extract_turn_udf(F.col("text")).alias("ex"),
+    )
+    miss = turns.where(~cand).select(
+        "conv_id", "turn_idx", "ts", _empty_extract_struct().alias("ex")
+    )
+    return hit.unionByName(miss)
+
+
+def extract(turns: DataFrame, impl: str = "arrow", gate: bool = False) -> DataFrame:
     """turns -> one row per turn with mention/triple arrays attached.
 
     Input should already be salted-repartitioned (operators.skew) so a
@@ -250,7 +290,7 @@ def extract(turns: DataFrame, impl: str = "arrow") -> DataFrame:
     if impl == "jvm":
         return extract_jvm(turns)
     if impl == "arrow":
-        return extract_arrow(turns)
+        return extract_arrow(turns, gate=gate)
     raise ValueError(f"unknown extract impl: {impl!r}")
 
 
