@@ -1010,6 +1010,66 @@ WHERE rep.keep
 
 
 # ---------------------------------------------------------------------------
+# corpus analytics for curation planning: per-language size/quality
+# distribution (exact interpolated percentiles — Spark `percentile` and
+# DuckDB `quantile_cont` share linear interpolation), and the
+# percentile-thresholded quality selection (top quartile per language via
+# a single window pass — the dynamic-threshold alternative to a fixed
+# min_quality, standard in curation recipes)
+# ---------------------------------------------------------------------------
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.percentile("n_chars", 0.5), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", 0.95), 6).alias("p95_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    )
+
+
+_CORPUS_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS mean_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+       SUM(length(text)) AS total_text_chars
+FROM documents GROUP BY lang
+"""
+
+
+def top_quality_quartile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.round(textops.quality_score("text"), 6).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return scored.withColumn(
+        "pr", F.percent_rank().over(w)
+    ).filter(F.col("pr") < 0.25).select(
+        "doc_id", "lang", "quality", F.round("pr", 6).alias("pr")
+    )
+
+
+def _top_quartile_sql() -> str:
+    return f"""
+WITH scored AS (SELECT doc_id, quality FROM ({_QUALITY_SQL})),
+d AS (SELECT s.doc_id, d.lang, s.quality
+      FROM scored s JOIN documents d USING (doc_id)),
+r AS (SELECT doc_id, lang, quality,
+             PERCENT_RANK() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id) AS pr
+      FROM d)
+SELECT doc_id, lang, quality, ROUND(pr, 6) AS pr FROM r WHERE pr < 0.25
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1059,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": mixture_sample_documents,
         "shuffle_order_documents": shuffle_order_documents,
         "curation_sampled": curation_sampled,
+        "corpus_stats_by_lang": corpus_stats_by_lang,
+        "top_quality_quartile_documents": top_quality_quartile_documents,
     }
 
 
@@ -1111,6 +1173,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_documents": _MIXTURE_SQL,
         "shuffle_order_documents": _SHUFFLE_ORDER_SQL,
         "curation_sampled": _curation_sampled_sql(),
+        "corpus_stats_by_lang": _CORPUS_STATS_SQL,
+        "top_quality_quartile_documents": _top_quartile_sql(),
     }
 
 
