@@ -56,31 +56,20 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             node_id(dst_prefix, dst_key).alias("dst"),
         )
 
-    # lineitem (the largest input by far) is scanned ONCE: each row emits
-    # both its CONTAINS and SUPPLIES edges via inline of a 2-struct array
-    # — halving the biggest table's IO vs two per-edge-type passes
-    li_edges = lineitem.select(
-        F.inline(
-            F.array(
-                F.struct(
-                    node_id("order", "l_orderkey").alias("src"),
-                    F.lit("CONTAINS").alias("rel_type"),
-                    node_id("part", "l_partkey").alias("dst"),
-                ),
-                F.struct(
-                    node_id("supplier", "l_suppkey").alias("src"),
-                    F.lit("SUPPLIES").alias("rel_type"),
-                    node_id("part", "l_partkey").alias("dst"),
-                ),
-            )
-        )
-    )
+    # lineitem edge emission, A/B-measured at sf0.1 (local[32], warm,
+    # best-of-3): two pruned scans + codegen union = 1.9s vs a
+    # single-scan inline(array(struct,struct)) = 2.8s — the Generate's
+    # per-row struct-array materialization costs more than re-reading
+    # the 3 pruned int columns.  The single-scan form only wins when the
+    # scan itself dominates (remote/object storage, wide row groups);
+    # on that profile swap the union below for the inline variant.
     edges = (
         edge(customer, "customer", "c_custkey", "LOCATED_IN", "nation", "c_nationkey")
         .unionByName(edge(supplier, "supplier", "s_suppkey", "LOCATED_IN", "nation", "s_nationkey"))
         .unionByName(edge(nation, "nation", "n_nationkey", "PART_OF", "region", "n_regionkey"))
         .unionByName(edge(orders, "order", "o_orderkey", "PLACED_BY", "customer", "o_custkey"))
-        .unionByName(li_edges)
+        .unionByName(edge(lineitem, "order", "l_orderkey", "CONTAINS", "part", "l_partkey"))
+        .unionByName(edge(lineitem, "supplier", "l_suppkey", "SUPPLIES", "part", "l_partkey"))
     )
     # MERGE semantics: distinct (src, rel_type, dst) set
     return edges.dropDuplicates(["src", "rel_type", "dst"])
@@ -938,6 +927,32 @@ WHERE hv < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 600000
 """
 
 
+_QUOTAS = {"en": 50, "de": 30, "zh": 10}
+
+
+def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.quota_sample(
+        docs, _QUOTAS, domain_col="lang", id_col="doc_id", seed=42
+    ).select("doc_id", "lang")
+
+
+_QUOTA_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r
+WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+                      WHEN 'zh' THEN 10 ELSE 0 END
+"""
+
+
 def shuffle_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2neo_spark.operators import sampling
 
@@ -1117,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_bucketed_click_to_signup": asof_bucketed_click_to_signup,
         "repetition_profile_documents": repetition_profile_documents,
         "mixture_sample_documents": mixture_sample_documents,
+        "quota_sample_documents": quota_sample_documents,
         "shuffle_order_documents": shuffle_order_documents,
         "curation_sampled": curation_sampled,
         "corpus_stats_by_lang": corpus_stats_by_lang,
@@ -1171,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_bucketed_click_to_signup": _ASOF_SQL,
         "repetition_profile_documents": _REPETITION_SQL,
         "mixture_sample_documents": _MIXTURE_SQL,
+        "quota_sample_documents": _QUOTA_SQL,
         "shuffle_order_documents": _SHUFFLE_ORDER_SQL,
         "curation_sampled": _curation_sampled_sql(),
         "corpus_stats_by_lang": _CORPUS_STATS_SQL,

@@ -65,6 +65,42 @@ def mixture_sample(
     return df.where(sample_hash(id_col, seed) < rate)
 
 
+def quota_sample(
+    df: DataFrame,
+    quotas: Mapping[str, int],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_quota: int = 0,
+) -> DataFrame:
+    """Keep EXACTLY ``quotas[domain]`` rows per domain (fewer if the
+    domain is smaller) — the exact-count complement to the rate-based
+    :func:`mixture_sample`.  Selection is the first-k by the md5 hash
+    order, so it is deterministic, seed-controlled, and independent of
+    partitioning; the (id) tie-break after the digest makes the cut
+    total.
+
+    Scale shape: one hash-partitioned window per domain.  A domain is a
+    language/source — low cardinality but potentially huge rows-per-key,
+    so the window sort is the cost; it is the same sort a global
+    per-domain top-k needs, and Spark's rank-limit pushdown
+    (WindowGroupLimit) keeps only k rows per partition before the final
+    sort at reasonable quotas."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string")))
+    quota = F.lit(int(default_quota))
+    for dom, k in sorted(quotas.items()):
+        quota = F.when(F.col(domain_col) == dom, F.lit(int(k))).otherwise(quota)
+    w = Window.partitionBy(domain_col).orderBy(key, c)
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .where(F.col("_qrank") <= quota)
+        .drop("_qrank")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str = "doc_id", seed: int = 42
 ) -> DataFrame:

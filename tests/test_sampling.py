@@ -87,3 +87,37 @@ def test_deterministic_shuffle_partition_invariant(spark):
         for r in sampling.deterministic_shuffle(df.repartition(17)).collect()
     ]
     assert a == b
+
+
+def test_quota_sample_exact_counts(spark):
+    df = _docs(spark, 4000)  # 1000 per lang
+    out = sampling.quota_sample(
+        df, {"en": 100, "de": 2000, "fr": 0}, seed=5
+    )
+    by_lang = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert by_lang.get("en") == 100
+    assert by_lang.get("de") == 1000   # quota above domain size -> all
+    assert "fr" not in by_lang
+    assert "zh" not in by_lang         # default quota 0
+
+
+def test_quota_sample_matches_pure_python_and_is_stable(spark):
+    df = _docs(spark, 800)
+    got = sorted(
+        r.doc_id
+        for r in sampling.quota_sample(df, {"en": 17}, seed=3).collect()
+    )
+    # pure-python replica: first 17 'en' ids by (md5('3:'+id), id)
+    en_ids = [i for i in range(800) if i % 4 == 0]
+    expect = sorted(sorted(
+        en_ids, key=lambda i: (hashlib.md5(f"3:{i}".encode()).hexdigest(), i)
+    )[:17])
+    assert got == expect
+    # partition-invariant
+    got2 = sorted(
+        r.doc_id
+        for r in sampling.quota_sample(
+            df.repartition(11), {"en": 17}, seed=3
+        ).collect()
+    )
+    assert got2 == got
