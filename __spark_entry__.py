@@ -980,6 +980,55 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide boilerplate-line removal (C4 heuristic): the sf documents
+# are single-line, so the entry synthesizes the multi-line shape the
+# operator exists for — a per-source header and a global footer wrapped
+# around every document (deterministic, from table columns only).  With
+# min_df=20, every header (25 docs/source) and the footer (all docs) is
+# boilerplate; every body line is unique and survives verbatim.
+# ---------------------------------------------------------------------------
+def boilerplate_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    ml = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SOURCE HEADER "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\nGLOBAL FOOTER LINE"),
+        ).alias("text"),
+    )
+    out = textops.remove_boilerplate_lines(ml, min_df=20)
+    return out.select("doc_id", "clean_text", "n_lines_kept")
+
+
+_BOILERPLATE_SQL = """
+WITH ml AS (
+  SELECT doc_id,
+         'SOURCE HEADER ' || source || chr(10) || text || chr(10)
+           || 'GLOBAL FOOTER LINE' AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, u.pos, ls[u.pos] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml) s,
+       unnest(generate_series(1, len(ls))) AS u(pos)
+),
+boiler AS (
+  SELECT trim(line) AS lkey FROM l
+  WHERE length(trim(line)) > 0
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 20
+),
+kept AS (SELECT * FROM l WHERE trim(line) NOT IN (SELECT lkey FROM boiler))
+SELECT m.doc_id,
+       COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text,
+       CAST(COUNT(k.line) AS BIGINT) AS n_lines_kept
+FROM ml m LEFT JOIN kept k USING (doc_id)
+GROUP BY m.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # the FULL training-data assembly: curation pipeline with the repetition
 # filter and the deterministic mixture-sample + training-shuffle stage
 # enabled (plans/curation.py stages 1-5).  The oracle composes the three
@@ -1134,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": mixture_sample_documents,
         "quota_sample_documents": quota_sample_documents,
         "shuffle_order_documents": shuffle_order_documents,
+        "boilerplate_removed_documents": boilerplate_removed_documents,
         "curation_sampled": curation_sampled,
         "corpus_stats_by_lang": corpus_stats_by_lang,
         "top_quality_quartile_documents": top_quality_quartile_documents,
@@ -1189,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_documents": _MIXTURE_SQL,
         "quota_sample_documents": _QUOTA_SQL,
         "shuffle_order_documents": _SHUFFLE_ORDER_SQL,
+        "boilerplate_removed_documents": _BOILERPLATE_SQL,
         "curation_sampled": _curation_sampled_sql(),
         "corpus_stats_by_lang": _CORPUS_STATS_SQL,
         "top_quality_quartile_documents": _top_quartile_sql(),

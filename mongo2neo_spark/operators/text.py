@@ -166,6 +166,58 @@ def _word_ngrams(words, n: int) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (the C4 heuristic): a line that
+    appears in >= ``min_df`` DISTINCT documents is boilerplate (headers,
+    footers, cookie banners) and is dropped from every document; each
+    document's surviving lines are reassembled in their original order.
+
+    Scale shape: posexplode (narrow) -> one aggregation keyed by the
+    trimmed line to get document frequency -> the line stream joins the
+    (line, df>=min_df) set -- boilerplate is vocabulary-sized, tiny next
+    to the corpus, so AQE turns that into a broadcast anti-join -- ->
+    one groupBy(doc_id) to reassemble.  Two shuffles total (by line, by
+    doc), both evenly keyed; no driver-side collection.
+
+    Blank/whitespace lines are preserved verbatim (they carry no
+    boilerplate signal and removing them would reflow documents)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lkey", F.trim(F.col("line")))
+
+    boiler = (
+        lines.where(F.length("lkey") > 0)
+        .groupBy("lkey")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .where(F.col("ndocs") >= min_df)
+        .select("lkey")
+    )
+    # plain equi anti-join: blanks can never match (boiler excludes them),
+    # so no extra predicate is needed and AQE can broadcast the tiny side
+    kept = lines.join(boiler, "lkey", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+    )
+    return df.join(rebuilt, id_col, "left").select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+    )
+
+
 def repetition_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -134,3 +134,51 @@ def test_repetition_keep_verdict(spark):
     out = _rep(spark, [good, bad])
     assert out[0]["keep"] is True
     assert out[1]["keep"] is False
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide boilerplate line removal (C4 heuristic)
+# ---------------------------------------------------------------------------
+def test_boilerplate_lines_removed_and_order_preserved(spark):
+    header = "SITE NAVIGATION MENU"
+    footer = "copyright example incorporated"
+    docs = [
+        f"{header}\nreal content {i} here\nmore body text {i}\n{footer}"
+        for i in range(10)
+    ] + ["totally unique document\nwith no boilerplate"]
+    out = textops.remove_boilerplate_lines(
+        _docs(spark, docs), min_df=5
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    for i in range(10):
+        assert by_id[i].clean_text == f"real content {i} here\nmore body text {i}"
+        assert by_id[i].n_lines_kept == 2
+    assert by_id[10].clean_text == "totally unique document\nwith no boilerplate"
+
+
+def test_boilerplate_blank_lines_preserved(spark):
+    docs = ["keep\n\nblank above kept"] * 6 + ["other doc"]
+    # the repeated body lines hit min_df, blanks never do
+    out = textops.remove_boilerplate_lines(_docs(spark, docs), min_df=6)
+    r = {x.doc_id: x for x in out.collect()}
+    assert r[0].clean_text == ""  # both non-blank lines were boilerplate
+    # the blank line survives but concat of [''] is ''
+    assert r[6].clean_text == "other doc"
+
+
+def test_boilerplate_trim_matching(spark):
+    # lines matching after trim are the same boilerplate; original
+    # (untrimmed) text is preserved for surviving lines
+    docs = ["  promo line  \nbody a"] + ["promo line\nbody b"] * 5
+    out = {r.doc_id: r for r in
+           textops.remove_boilerplate_lines(_docs(spark, docs), min_df=6).collect()}
+    assert out[0].clean_text == "body a"
+    assert out[1].clean_text == "body b"
+
+
+def test_boilerplate_all_removed_doc(spark):
+    docs = ["spam"] * 8
+    out = textops.remove_boilerplate_lines(_docs(spark, docs), min_df=8)
+    rows = out.collect()
+    assert all(r.clean_text == "" and r.n_lines_kept == 0 for r in rows)
+    assert len(rows) == 8  # docs are kept (empty), not dropped
