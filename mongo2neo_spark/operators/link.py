@@ -108,3 +108,64 @@ def dropped_from_bands(bands: DataFrame,
 
 def dropped_bands(mentions: DataFrame, band_cap: int = hashing.BAND_CAP) -> DataFrame:
     return dropped_from_bands(lsh_bands(mentions), band_cap)
+
+
+def driver_link_components(
+    norm_ids,
+    band_cap: int = hashing.BAND_CAP,
+    threshold: float = rules.LINK_THRESHOLD,
+):
+    """Driver-side short-circuit of the full linking stage for
+    vocabulary-sized norm sets: ``(norm, xxhash64-id)`` pairs ->
+    (``[(norm, entity_id)]``, ``n_dropped_bands``).
+
+    Bit-identical to the distributed ``lsh_bands ->
+    candidate_pairs_from_bands -> connected_components`` path: the same
+    shared ``hashing``/``rules`` functions produce signatures, band
+    keys, the K3 over-cap drop, exact pair scores, and min-id component
+    labels — only the execution venue changes.  The mention vocabulary
+    is bounded (names, orgs, places), so even 100-TB corpora yield norm
+    sets that fit on the driver; the distributed path remains for
+    corpora where they don't (plans.pipeline picks by measured count).
+    """
+    from collections import defaultdict
+
+    items = sorted(norm_ids)  # deterministic order
+    norms = [n for n, _ in items]
+    id_of = dict(items)
+    sigs = hashing.minhash_signatures_batch(
+        [rules.char_ngrams(n or "") for n in norms]
+    )
+    buckets: dict = defaultdict(list)
+    for n, sig in zip(norms, sigs):
+        for bk in hashing.band_keys(sig):
+            buckets[bk].append(n)
+
+    dropped = sum(1 for members in buckets.values() if len(members) > band_cap)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > band_cap:
+            continue  # K3: same drop rule as the distributed path
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if a > b:
+                    a, b = b, a
+                pairs.add((a, b))
+
+    parent = {id_of[n]: id_of[n] for n in norms}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        if rules.pair_score(a, b) >= threshold:
+            ra, rb = find(id_of[a]), find(id_of[b])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # min-id label, as hash-min CC converges to
+
+    return [(n, find(id_of[n])) for n in norms], dropped

@@ -47,6 +47,11 @@ class PipelineConfig:
     # when the text payload is wide relative to the dedup key, measured
     # from a row sample; both strategies produce identical rows)
     dedup_strategy: str = "auto"
+    # linking venue: norm vocabularies up to this size are linked on the
+    # driver (link.driver_link_components — bit-identical, same shared
+    # hashing/rules code) instead of paying 3 UDF-stage fixed costs on a
+    # vocabulary-sized problem; 0 forces the distributed path
+    driver_link_max: int = 100_000
     run_id: str = ""
 
     def __post_init__(self):
@@ -175,20 +180,47 @@ def _stage_components(spark, paths, cfg, resume) -> None:
         return
     with lin.StageTimer() as t:
         ments = extract_mod.mentions(spark.read.parquet(paths["extracted"]))
-        # one LSH pass feeds both candidate generation and the drop audit
-        bands = link_mod.lsh_bands(ments).persist()
-        pairs = link_mod.candidate_pairs_from_bands(
-            bands, cfg.band_cap, cfg.threshold
-        )
-        # vertex set from the persisted bands (every norm has >=1 band
-        # key), not a second scan of the extraction table
-        comp = mat_mod.norm_components(
-            ments, pairs=pairs, norms=bands.select("norm").distinct()
-        )
-        obs, comp = lin.observe_table_metrics(comp)
-        m2nio.write_table(comp, paths["components"])
-        dropped = link_mod.dropped_from_bands(bands, cfg.band_cap).count()
-        bands.unpersist()
+        # venue choice: LIMIT max+1 + collect is ONE job — if it comes
+        # back short we already hold the complete vocabulary and the
+        # whole linking stage (3 UDF passes + CC rounds of fixed cost)
+        # collapses to driver arithmetic over the same shared functions
+        sample = None
+        if cfg.driver_link_max > 0:
+            nid = ments.select("norm").distinct().withColumn(
+                "id", F.xxhash64("norm")
+            )
+            sample = nid.limit(cfg.driver_link_max + 1).collect()
+            if len(sample) > cfg.driver_link_max:
+                sample = None
+        if sample is not None:
+            comp_rows, dropped = link_mod.driver_link_components(
+                [(r.norm, r.id) for r in sample], cfg.band_cap, cfg.threshold
+            )
+            import pandas as pd
+
+            comp = spark.createDataFrame(
+                pd.DataFrame(comp_rows, columns=["norm", "entity_id"])
+                if comp_rows
+                else pd.DataFrame({"norm": pd.Series(dtype="object"),
+                                   "entity_id": pd.Series(dtype="int64")})
+            )
+            obs, comp = lin.observe_table_metrics(comp)
+            m2nio.write_table(comp, paths["components"])
+        else:
+            # one LSH pass feeds both candidates and the drop audit
+            bands = link_mod.lsh_bands(ments).persist()
+            pairs = link_mod.candidate_pairs_from_bands(
+                bands, cfg.band_cap, cfg.threshold
+            )
+            # vertex set from the persisted bands (every norm has >=1
+            # band key), not a second scan of the extraction table
+            comp = mat_mod.norm_components(
+                ments, pairs=pairs, norms=bands.select("norm").distinct()
+            )
+            obs, comp = lin.observe_table_metrics(comp)
+            m2nio.write_table(comp, paths["components"])
+            dropped = link_mod.dropped_from_bands(bands, cfg.band_cap).count()
+            bands.unpersist()
     got = obs.get
     lin.record(
         spark, out_root, stage,

@@ -86,3 +86,35 @@ def test_nodes_and_edges_consistent(spark, pipeline_out):
     for r in edges.collect():
         assert r.subj in node_names and r.obj in node_names
         assert r.weight >= 1 and len(r.provenance) >= 1
+
+
+def test_driver_link_venue_matches_distributed(spark, small_rows, tmp_path):
+    """The size-adaptive driver-side linking (driver_link_max) and the
+    distributed LSH/CC path must produce identical components, triples,
+    and lineage drop audits — same shared hashing/rules code, different
+    venue only."""
+    from mongo2neo_spark import fixtures
+
+    df = spark.createDataFrame(fixtures.turns_to_pandas(small_rows))
+    df.write.parquet(str(tmp_path / "in"))
+    pa = run_pipeline(
+        spark, str(tmp_path / "in"), str(tmp_path / "drv"),
+        PipelineConfig(n_buckets=4, run_id="drv"), resume=False,
+    )
+    pb = run_pipeline(
+        spark, str(tmp_path / "in"), str(tmp_path / "dist"),
+        PipelineConfig(n_buckets=4, run_id="dist", driver_link_max=0),
+        resume=False,
+    )
+    comp_a = sorted(map(tuple, spark.read.parquet(pa["components"]).collect()))
+    comp_b = sorted(map(tuple, spark.read.parquet(pb["components"]).collect()))
+    assert comp_a == comp_b and len(comp_a) > 0
+    tri_a = sorted(
+        (r.subj, r.pred, r.obj)
+        for r in spark.read.parquet(pa["triples"]).collect()
+    )
+    tri_b = sorted(
+        (r.subj, r.pred, r.obj)
+        for r in spark.read.parquet(pb["triples"]).collect()
+    )
+    assert tri_a == tri_b
