@@ -255,11 +255,14 @@ BENCH_r{{N}}.json; compare `value` (total wall sec, lower is better) and
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     # preserve the marked sections other studies maintain
-    # (BENCH/curation_scaling.py, BENCH/ann_scaling.py) across regens
+    # (BENCH/curation_scaling.py, BENCH/ann_scaling.py) and any
+    # hand-written analysis blocks (KG_NOTES / CURATION_NOTES) across
+    # regens
     try:
         with open(out) as f:
             old = f.read()
-        for tag in ("CURATION_SCALING", "ANN_SCALING"):
+        for tag in ("KG_NOTES", "CURATION_SCALING", "CURATION_NOTES",
+                    "ANN_SCALING"):
             begin, end = f"<!-- {tag}_BEGIN -->", f"<!-- {tag}_END -->"
             if begin in old:
                 sec = old.split(begin)[1].split(end)[0]
