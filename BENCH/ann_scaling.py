@@ -152,13 +152,11 @@ efficiency {report['scaling_efficiency']}** (host ceiling this run
 {report['efficiency_vs_host_ceiling']}).  All runs (s): N
 {rn.get('runs')}, 4N {r4.get('runs')}.
 
-Fixed-term decomposition T(p) = a/p + b: parallel work
-a = {round(a):,} core-s, serial/fixed b = {round(b, 1)} s (driver-side
-quantizer training, plane broadcast, per-job scheduling — independent
-of corpus size).  These are sub-minute query/cluster jobs, so the
-fixed term is a large share of the 4N wall; at 10x the corpus the same
-a/b project to {proj} efficiency — the gap is amortization, not a
-shuffle/skew pathology.  Measured {dt.date.today().isoformat()}.
+Two-point decomposition at THIS corpus size, T(p) = a/p + b:
+parallel work a = {round(a):,} core-s, non-scaling share b = {round(b, 1)} s
+(if b were a size-independent fixed cost, 10x the corpus would project
+{proj} — but see the cross-size notes below before trusting that).
+Measured {dt.date.today().isoformat()}.
 {SECTION_END}"""
 
 

@@ -262,7 +262,7 @@ BENCH_r{{N}}.json; compare `value` (total wall sec, lower is better) and
         with open(out) as f:
             old = f.read()
         for tag in ("KG_NOTES", "CURATION_SCALING", "CURATION_NOTES",
-                    "ANN_SCALING"):
+                    "ANN_SCALING", "ANN_NOTES"):
             begin, end = f"<!-- {tag}_BEGIN -->", f"<!-- {tag}_END -->"
             if begin in old:
                 sec = old.split(begin)[1].split(end)[0]
