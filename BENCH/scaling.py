@@ -251,7 +251,10 @@ Triples emitted: {report['4N']['triples']:,} — identical at both sizes
 
 `bench.py` at sf0.1 on local[32] — the driver records its JSON as
 BENCH_r{{N}}.json; compare `value` (total wall sec, lower is better) and
-`kg_turns_per_sec` (higher is better) across rounds.
+`kg_turns_per_sec` (higher is better) across rounds.  Round 3 ADDED
+`curation_pipeline` (~8-10s) to the suite, so for cross-round wall
+comparison use `r2_comparable_wall_sec` (the exact query set rounds 1-2
+measured): r2 = 20.5s, r3 = 16.7s with `kg_turns_per_sec` 12.0k -> 16.8k.
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     # preserve the marked sections other studies maintain
