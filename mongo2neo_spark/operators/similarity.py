@@ -142,10 +142,43 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
-    qx = q.select(
-        "query_id", "_qv",
-        F.posexplode(buckets(F.col("_qv"))).alias("tbl", "bucket"),
-    )
+    # broadcast-side venue: the query bucket stage is a single task that
+    # pays a Python-worker round trip (~1.5s, profiled) purely to hash a
+    # handful of vectors.  Small query sets (the common case — the
+    # corpus is the big side by construction) hash on the driver with
+    # the SAME numpy expression the UDF runs, bit-identically; the probe
+    # is one LIMIT max+1 collect, and large query sets keep the
+    # distributed path.
+    qx = None
+    _DRIVER_Q_MAX = 10_000
+    qrows = q.limit(_DRIVER_Q_MAX + 1).collect()
+    if len(qrows) <= _DRIVER_Q_MAX:
+        import pandas as pd
+
+        planes = _planes(dim, n_planes, n_tables)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        recs = []
+        if qrows:
+            m = np.vstack([r._qv for r in qrows])
+            signs = (m @ planes.T) > 0
+            vals = signs.reshape(len(m), n_tables, n_planes) @ weights
+            for r, row_vals in zip(qrows, vals):
+                for tbl, bucket in enumerate(row_vals):
+                    recs.append((r.query_id, list(r._qv), tbl, int(bucket)))
+        qx = queries.sparkSession.createDataFrame(
+            pd.DataFrame(recs, columns=["query_id", "_qv", "tbl", "bucket"])
+            if recs else
+            pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "_qv": pd.Series(dtype="object"),
+                          "tbl": pd.Series(dtype="int32"),
+                          "bucket": pd.Series(dtype="int64")}),
+            schema="query_id long, _qv array<double>, tbl int, bucket long",
+        )
+    if qx is None:
+        qx = q.select(
+            "query_id", "_qv",
+            F.posexplode(buckets(F.col("_qv"))).alias("tbl", "bucket"),
+        )
     cand = cx.join(F.broadcast(qx), ["tbl", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
