@@ -298,9 +298,36 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
-    qx = q.select(
-        "query_id", "_qv", F.explode(q_assign(F.col("_qv"))).alias("cell")
-    )
+    # same broadcast-side venue rule as lsh_bucketed_topk: a small query
+    # set's probe assignment is one single-task Python stage — hash it
+    # on the driver with the identical numpy expression instead
+    qx = None
+    _DRIVER_Q_MAX = 10_000
+    qrows = q.limit(_DRIVER_Q_MAX + 1).collect()
+    if len(qrows) <= _DRIVER_Q_MAX:
+        import pandas as pd
+
+        recs = []
+        if qrows:
+            m = np.vstack([r._qv for r in qrows])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ centroids.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+            for r, cells in zip(qrows, top):
+                for cell in cells:
+                    recs.append((r.query_id, list(r._qv), int(cell)))
+        qx = queries.sparkSession.createDataFrame(
+            pd.DataFrame(recs, columns=["query_id", "_qv", "cell"])
+            if recs else
+            pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "_qv": pd.Series(dtype="object"),
+                          "cell": pd.Series(dtype="int32")}),
+            schema="query_id long, _qv array<double>, cell int",
+        )
+    if qx is None:
+        qx = q.select(
+            "query_id", "_qv", F.explode(q_assign(F.col("_qv"))).alias("cell")
+        )
     cand = c.join(F.broadcast(qx), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
