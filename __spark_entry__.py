@@ -134,16 +134,35 @@ SELECT 'part:' || CAST(p_partkey AS VARCHAR), 'part', p_name FROM part
 # relational operator coverage (SURVEY.md §2.2-2.7, §2.9)
 # ---------------------------------------------------------------------------
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary, hash-robust by construction.
+
+    The money columns are doubles, and SUM(double) is summation-order
+    dependent — a partial/final hash agg (Spark) and a sequential agg
+    (DuckDB) can land one ulp apart, so hashing ROUND(SUM(double)) is
+    fragile-by-luck (the round-3 corpus_stats red row was exactly this
+    class of bug).  Discipline used by every money/measure aggregate in
+    this file: quantize PER ROW to integer cents/micros — the per-row
+    expression is the same arithmetic in both engines, so its result is
+    bit-identical — then SUM exact int64s and emit *_cents/*_micro
+    BIGINT columns.  Means use the round-half-up integer identity
+    (2*s*unit + n) div (2*n)."""
     li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
     return (
-        li.groupBy("l_returnflag", "l_linestatus")
+        li.select(
+            "l_returnflag", "l_linestatus",
+            cents("l_quantity").alias("qc"),
+            cents("l_extendedprice").alias("epc"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint").alias("dpc"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.sum("qc").alias("sum_qty_cents"),
+            F.sum("epc").alias("sum_base_price_cents"),
+            F.sum("dpc").alias("sum_disc_price_cents"),
+            F.expr("(2*sum(qc)*100 + count(*)) div (2*count(*))")
+            .alias("avg_qty_tenthousandths"),
             F.count("*").alias("count_order"),
         )
     )
@@ -151,10 +170,11 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST((2*SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))*100 + COUNT(*))
+            // (2*COUNT(*)) AS BIGINT) AS avg_qty_tenthousandths,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -169,14 +189,18 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # per-row cents quantize -> exact int sum (see agg_pricing_summary)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("revenue_cents"),
             F.count("*").alias("n_orders"),
         )
     )
 
 
 _JOIN_REVENUE_SQL = """
-SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -263,10 +287,15 @@ def events_json_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = events.withColumn(
         "k", F.from_json("props", "struct<k:int>")["k"].cast("long")
     )
+    parsed = parsed.withColumn(
+        "vm", F.round(F.col("value") * 1000000).cast("bigint")
+    )
     return parsed.groupBy("event_type").agg(
         F.sum("k").alias("sum_k"),
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        # per-row micro quantize -> integer mean (see agg_pricing_summary)
+        F.expr("(2*sum(vm) + count(*)) div (2*count(*))")
+        .alias("avg_value_micro"),
     )
 
 
@@ -274,7 +303,8 @@ _EVENTS_JSON_SQL = """
 SELECT event_type,
        CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events,
-       ROUND(AVG(value), 6) AS avg_value
+       CAST((2*SUM(CAST(ROUND(value * 1000000) AS BIGINT)) + COUNT(*))
+            // (2*COUNT(*)) AS BIGINT) AS avg_value_micro
 FROM events GROUP BY event_type
 """
 
@@ -311,13 +341,15 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # per-row cents quantize -> exact int sum (see agg_pricing_summary)
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("total_cents"),
     )
 
 
 _ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -350,14 +382,16 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # per-row cents quantize -> exact int sum (see agg_pricing_summary)
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("total_value_cents"),
         )
     )
 
 
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events GROUP BY 1
 """
 
@@ -1075,31 +1109,96 @@ WHERE rep.keep
 
 # ---------------------------------------------------------------------------
 # corpus analytics for curation planning: per-language size/quality
-# distribution (exact interpolated percentiles — Spark `percentile` and
-# DuckDB `quantile_cont` share linear interpolation), and the
-# percentile-thresholded quality selection (top quartile per language via
-# a single window pass — the dynamic-threshold alternative to a fixed
-# min_quality, standard in curation recipes)
+# distribution, and the percentile-thresholded quality selection (top
+# quartile per language via a single window pass — the dynamic-threshold
+# alternative to a fixed min_quality, standard in curation recipes).
+#
+# The distribution stats are emitted as INTEGER MICRO-UNITS (value*1e6
+# as bigint) computed with pure integer arithmetic on both sides —
+# never by hashing an engine-computed double.  Round 3 proved why:
+# Spark `percentile` and DuckDB `quantile_cont` agree mathematically
+# (linear interpolation) but evaluate it through different float
+# expression orders, so ROUND(double, 6) can land one ulp apart and
+# flip a value hash.  Here the interpolated quantile pos = 1 + (n-1)*q
+# is computed in hundredths (q = p/100), the lo/hi order statistics
+# are picked by exact window rank, and lo*1e6 + (hi-lo)*frac100*1e4 is
+# exact int64; the mean uses the round-half-up identity
+# (2*sum*1e6 + n) div (2*n).  Overflow bound: 2*sum*1e6 < 2^63 holds
+# while a language holds < ~4.6e12 chars (4.6 TB of text PER LANGUAGE
+# per stats run); past that, lift the sums to decimal(38,0).
 # ---------------------------------------------------------------------------
 def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
-        F.round(F.percentile("n_chars", 0.5), 6).alias("p50_chars"),
-        F.round(F.percentile("n_chars", 0.95), 6).alias("p95_chars"),
-        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    w_ord = Window.partitionBy("lang").orderBy("nc")
+    w_all = Window.partitionBy("lang")
+    r = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.length("text").cast("bigint").alias("tc"),
+    ).select(
+        "lang", "nc", "tc",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    # quantile positions in hundredths (1-based): pos100 = 100 + (n-1)*p
+    g = r.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.sum("nc").alias("s"),
+        F.sum("tc").alias("t"),
+        F.max(F.expr(
+            "CASE WHEN rn = (100 + (n-1)*50) div 100 THEN nc END"
+        )).alias("p50_lo"),
+        F.max(F.expr(
+            "CASE WHEN rn = (100 + (n-1)*50) div 100 + 1 THEN nc END"
+        )).alias("p50_next"),
+        F.max(F.expr(
+            "CASE WHEN rn = (100 + (n-1)*95) div 100 THEN nc END"
+        )).alias("p95_lo"),
+        F.max(F.expr(
+            "CASE WHEN rn = (100 + (n-1)*95) div 100 + 1 THEN nc END"
+        )).alias("p95_next"),
+    )
+    return g.selectExpr(
+        "lang",
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST((2*s*1000000 + n) div (2*n) AS BIGINT) AS mean_chars_micro",
+        "CAST(p50_lo*1000000 + (COALESCE(p50_next, p50_lo) - p50_lo)"
+        " * ((100 + (n-1)*50) % 100) * 10000 AS BIGINT) AS p50_chars_micro",
+        "CAST(p95_lo*1000000 + (COALESCE(p95_next, p95_lo) - p95_lo)"
+        " * ((100 + (n-1)*95) % 100) * 10000 AS BIGINT) AS p95_chars_micro",
+        "CAST(t AS BIGINT) AS total_text_chars",
     )
 
 
 _CORPUS_STATS_SQL = """
+WITH r AS (
+  SELECT lang,
+         CAST(n_chars AS BIGINT) AS nc,
+         CAST(length(text) AS BIGINT) AS tc,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         MAX(n) AS n,
+         SUM(nc) AS s,
+         SUM(tc) AS t,
+         MAX(CASE WHEN rn = (100 + (n-1)*50) // 100 THEN nc END) AS p50_lo,
+         MAX(CASE WHEN rn = (100 + (n-1)*50) // 100 + 1 THEN nc END) AS p50_next,
+         MAX(CASE WHEN rn = (100 + (n-1)*95) // 100 THEN nc END) AS p95_lo,
+         MAX(CASE WHEN rn = (100 + (n-1)*95) // 100 + 1 THEN nc END) AS p95_next
+  FROM r GROUP BY lang
+)
 SELECT lang,
-       COUNT(*) AS n_docs,
-       ROUND(AVG(n_chars), 6) AS mean_chars,
-       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
-       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
-       SUM(length(text)) AS total_text_chars
-FROM documents GROUP BY lang
+       CAST(n AS BIGINT) AS n_docs,
+       CAST((2*s*1000000 + n) // (2*n) AS BIGINT) AS mean_chars_micro,
+       CAST(p50_lo*1000000 + (COALESCE(p50_next, p50_lo) - p50_lo)
+            * ((100 + (n-1)*50) % 100) * 10000 AS BIGINT) AS p50_chars_micro,
+       CAST(p95_lo*1000000 + (COALESCE(p95_next, p95_lo) - p95_lo)
+            * ((100 + (n-1)*95) % 100) * 10000 AS BIGINT) AS p95_chars_micro,
+       CAST(t AS BIGINT) AS total_text_chars
+FROM g
 """
 
 

@@ -3,7 +3,8 @@ __spark_entry__.queries()[name] at a given sf and compare against
 oracle_sql()[name] via DuckDB — row count, schema (column names), and
 order-insensitive value hash.
 
-Usage: python tools/check_entry.py [sf_dir]
+Usage: python tools/check_entry.py [sf_dir] [name ...]
+(names filter the checked entries; default = all)
 """
 
 from __future__ import annotations
@@ -53,6 +54,9 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     for name, fn in qs.items():
         t0 = time.monotonic()
