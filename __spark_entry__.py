@@ -627,6 +627,17 @@ def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def simhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SimHash near-dup clustering (Manku t-of-b blocking +
+    capped buckets + exact hamming verify + min-id CC); the pure-Python
+    oracle replicates blocking, cap, and union-find exactly."""
+    from mongo2neo_spark.operators.dedup import simhash_dedup_components
+
+    return simhash_dedup_components(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2neo_spark.operators.text import fingerprint_udf
 
@@ -1269,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_clusters": ngram_jaccard_clusters,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "simhash_doc_signatures": simhash_doc_signatures,
+        "simhash_doc_clusters": simhash_doc_clusters,
         "doc_fingerprints": doc_fingerprints,
         "kg_triples_synthetic": kg_triples_synthetic,
         "curation_pipeline": curation_pipeline,
@@ -1323,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_clusters": _eo().ngram_jaccard_sql(),
         "embedding_dedup_clusters": _eo().embedding_clusters_sql(),
         "simhash_doc_signatures": _eo().simhash_sql(),
+        "simhash_doc_clusters": _eo().simhash_clusters_sql(),
         "doc_fingerprints": _eo().fingerprints_sql(),
         "kg_triples_synthetic": _eo().kg_triples_sql(),
         "curation_pipeline": _eo().curation_sql(

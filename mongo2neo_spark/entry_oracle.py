@@ -146,6 +146,47 @@ def simhash_rows(sf_dir: str | None = None) -> List[tuple]:
     ]
 
 
+def simhash_cluster_rows(
+    max_hamming: int = 3,
+    bucket_cap: int = hashing.BAND_CAP,
+    sf_dir: str | None = None,
+) -> List[tuple]:
+    """Expected (id, component) rows of
+    operators.dedup.simhash_dedup_components: per-doc SimHash ->
+    Manku t-of-b composite block keys (hashing.simhash_block_keys, the
+    shared spec the Spark column expression mirrors) -> K3 bucket-cap
+    drop -> exact hamming<=k verify -> min-id union-find.  The cap is
+    replicated exactly, so parity holds on any input, drops included."""
+    ids, texts = _read_docs(sf_dir)
+    hs = {int(i): hashing.simhash((t or "").split()) for i, t in zip(ids, texts)}
+    buckets: dict = defaultdict(list)
+    for i in sorted(hs):
+        for bk in hashing.simhash_block_keys(hs[i], max_hamming):
+            buckets[bk].append(i)
+    parent = {i: i for i in hs}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > bucket_cap:
+            continue  # K3, same rule as the Spark path
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                pairs.add((members[ai], members[bi]))
+    for a, b in sorted(pairs):
+        if bin(hs[a] ^ hs[b]).count("1") <= max_hamming:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    return [(i, find(i)) for i in sorted(hs)]
+
+
 def fingerprint_rows(sf_dir: str | None = None) -> List[tuple]:
     """Expected (doc_id, fingerprint) rows of operators.text.fingerprint_udf."""
     ids, texts = _read_docs(sf_dir)
@@ -587,6 +628,12 @@ def minhash_clusters_sql() -> str:
 
 def simhash_sql() -> str:
     return values_sql(simhash_rows(), [("id", "BIGINT"), ("simhash", "BIGINT")])
+
+
+def simhash_clusters_sql() -> str:
+    return values_sql(
+        simhash_cluster_rows(), [("id", "BIGINT"), ("component", "BIGINT")]
+    )
 
 
 def fingerprints_sql() -> str:

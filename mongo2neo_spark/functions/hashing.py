@@ -249,6 +249,64 @@ def simhash_batch(token_lists: Sequence[Sequence[str]]) -> np.ndarray:
     return packed.astype(np.int64)  # two's-complement == _to_i64 per value
 
 
+def simhash_block_plan(max_hamming: int = 3):
+    """Manku-style t-of-b blocking plan for SimHash hamming search
+    ("Detecting Near-Duplicates for Web Crawling", WWW 2007 — the
+    published fix for chunk-banding's tiny key space).
+
+    Split the 64 bits into ``b`` nearly-equal blocks and key each
+    blocking table on a COMBINATION of ``m`` whole blocks.  If
+    ham(x, y) <= k, the differing bits touch at most k blocks, leaving
+    >= b - k blocks identical — so with b = k + m, at least one
+    m-block combination is bit-identical between the two hashes
+    (pigeonhole), and every qualifying pair shares at least one of the
+    C(b, m) composite keys.  Completeness is structural; no pair is
+    missed (before the hot-bucket cap).
+
+    Key-space math (the round-3 scale defect this replaces): 4x16-bit
+    chunk keys have <= 4 * 2^16 = 262,144 distinct values TOTAL, so at
+    10^10 docs the AVERAGE bucket holds ~38k docs and the bucket
+    self-join is quadratic by construction.  Here k=3 gives b=6 blocks
+    of 10-11 bits; each of the C(6,3)=20 tables is keyed on ~32 bits of
+    hash (≈4.3e9 distinct values per table) — uniform SimHash bits put
+    ~n/2^32 docs in an average bucket, linear join work at any corpus
+    size, with the K3 cap+audit backstopping adversarial skew.
+
+    For k > 6 the combo count C(k+3, 3) gets large, so fall back to the
+    classic single-block pigeonhole (b = k+1 tables keyed on one block
+    each) — correct but small-keyed; the design-scale guarantee is for
+    the published k <= 6 regime.
+
+    Returns (widths, offsets, combos): per-block bit widths/offsets and
+    the list of block-index tuples, one blocking table per combo."""
+    from itertools import combinations
+
+    m = 3 if max_hamming <= 6 else 1
+    b = max_hamming + m
+    widths = [(SIMHASH_BITS // b) + (1 if i < (SIMHASH_BITS % b) else 0)
+              for i in range(b)]
+    offsets = [sum(widths[:i]) for i in range(b)]
+    return widths, offsets, list(combinations(range(b), m))
+
+
+def simhash_block_keys(h_u64: int, max_hamming: int = 3) -> List[int]:
+    """Pure-Python spec of the composite block keys for one unsigned
+    64-bit SimHash: key_ci = ci*2^48 + sum(block_value[lane]*2^(16*lane)).
+    Lanes never overlap (block width <= 16 for every b >= 4) and
+    ci < C(b, m) < 2^15, so each key is a non-negative int64.  The Spark
+    column mirror is operators.dedup.simhash_block_keys_col (equality
+    property-tested)."""
+    widths, offsets, combos = simhash_block_plan(max_hamming)
+    keys = []
+    for ci, combo in enumerate(combos):
+        v = ci << 48
+        for lane, bi in enumerate(combo):
+            blk = (h_u64 >> offsets[bi]) & ((1 << widths[bi]) - 1)
+            v += blk << (16 * lane)
+        keys.append(v)
+    return keys
+
+
 def _splitmix64(x: int) -> np.uint64:
     # mod-2^64 wraparound is the definition of splitmix64, not an error
     with np.errstate(over="ignore"):

@@ -434,42 +434,112 @@ def _to_i64(u: int) -> int:
 
 def simhash_groups(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) — near-dups land on close hamming distance; banding
-    the 64 bits into 4×16-bit chunks finds all pairs within hamming<=3
-    guaranteed (pigeonhole): at least one chunk is identical."""
+    """(id, simhash) — near-dups land on close hamming distance; the
+    Manku t-of-b block scheme (hashing.simhash_block_plan) finds all
+    pairs within hamming<=k guaranteed (pigeonhole over whole blocks)."""
     return df.select(
         F.col(id_col).cast("long").alias("id"),
         _simhash_udf(F.col(text_col)).alias("simhash"),
     )
 
 
-def simhash_dedup_components(df: DataFrame, text_col: str = "text",
-                             id_col: str = "doc_id",
-                             max_hamming: int = 3) -> DataFrame:
-    sh = simhash_groups(df, text_col, id_col)
-    chunks = sh.select(
+def simhash_block_keys_col(simhash_col, max_hamming: int = 3):
+    """array<long> of composite Manku block keys for a signed-int64
+    simhash column — the exact JVM mirror of
+    ``hashing.simhash_block_keys`` (property-tested equal): for each of
+    the C(b, m) block combinations ci, key = ci*2^48 + sum of the
+    combo's block values in non-overlapping 16-bit lanes.  Pure
+    shiftrightunsigned/bitwiseAND/arithmetic — whole-stage codegen,
+    no Python."""
+    widths, offsets, combos = hashing.simhash_block_plan(max_hamming)
+    c = simhash_col if not isinstance(simhash_col, str) else F.col(simhash_col)
+
+    def blk(bi):
+        return F.shiftrightunsigned(c, offsets[bi]).bitwiseAND(
+            F.lit((1 << widths[bi]) - 1)
+        )
+
+    keys = []
+    for ci, combo in enumerate(combos):
+        expr = F.lit(ci << 48).cast("long")
+        for lane, bi in enumerate(combo):
+            expr = expr + blk(bi) * F.lit(1 << (16 * lane)).cast("long")
+        keys.append(expr)
+    return F.array(*keys)
+
+
+def simhash_blocks(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id, simhash, block_key, bs) blocking stream from a
+    :func:`simhash_groups` frame, with per-bucket sizes attached so one
+    pass feeds both the capped candidate join and the K3 drop audit
+    (same persist-and-share pattern as link.lsh_bands)."""
+    bx = sh.select(
         "id", "simhash",
         F.explode(
-            F.array(*[
-                F.concat_ws(
-                    ":", F.lit(i),
-                    F.conv(
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)),
-                        10, 16,
-                    ),
-                )
-                for i in range(4)
-            ])
-        ).alias("chunk_key"),
+            simhash_block_keys_col(F.col("simhash"), max_hamming)
+        ).alias("block_key"),
     )
-    a = chunks.select(F.col("id").alias("a_id"), F.col("simhash").alias("a_h"), "chunk_key")
-    b = chunks.select(F.col("id").alias("b_id"), F.col("simhash").alias("b_h"), "chunk_key")
-    pairs = (
-        a.join(b, "chunk_key")
+    w = Window.partitionBy("block_key")
+    return bx.withColumn("bs", F.count("*").over(w))
+
+
+def simhash_candidate_pairs_from_hashes(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int = hashing.BAND_CAP,
+) -> DataFrame:
+    """(a_id, b_id) pairs within hamming <= ``max_hamming`` of each
+    other, from an (id, simhash) frame.  Blocking stream is
+    (id, simhash, block_key) — 16 B of payload per row, never the text;
+    buckets over ``bucket_cap`` are dropped (K3 — see
+    :func:`simhash_dropped_buckets` for the audit; a bucket that hot
+    means a near-constant 32-bit hash region, which discriminates
+    nothing).  Verify is exact: bit_count(a XOR b) on the full hash."""
+    bx = simhash_blocks(sh, max_hamming).filter(
+        F.col("bs") <= bucket_cap
+    ).drop("bs")
+    a = bx.select(F.col("id").alias("a_id"), F.col("simhash").alias("a_h"),
+                  "block_key")
+    b = bx.select(F.col("id").alias("b_id"), F.col("simhash").alias("b_h"),
+                  "block_key")
+    return (
+        a.join(b, "block_key")
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
         .withColumn("ham", F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))))
         .filter(F.col("ham") <= max_hamming)
+        .select("a_id", "b_id")
     )
+
+
+def simhash_dropped_buckets(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int = hashing.BAND_CAP,
+) -> DataFrame:
+    """K3 audit: (block_key, bs) buckets whose size exceeded the cap —
+    the same logged-never-silent drop rule as every sibling blocking
+    path (link.dropped_from_bands, the minhash band cap, the embedding
+    bucket cap)."""
+    return (
+        simhash_blocks(sh, max_hamming)
+        .select("block_key", "bs")
+        .dropDuplicates(["block_key"])
+        .filter(F.col("bs") > bucket_cap)
+    )
+
+
+def simhash_dedup_components(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_hamming: int = 3,
+                             bucket_cap: int = hashing.BAND_CAP) -> DataFrame:
+    """(id, component) SimHash near-dup clusters: simhash UDF -> Manku
+    t-of-b composite-key blocking (capped + auditable) -> exact hamming
+    verify -> min-id connected components.  See
+    ``hashing.simhash_block_plan`` for the completeness proof and the
+    key-space math that makes this construction (unlike 4x16-bit chunk
+    banding) linear at 10^10+ docs."""
+    sh = simhash_groups(df, text_col, id_col)
+    pairs = simhash_candidate_pairs_from_hashes(sh, max_hamming, bucket_cap)
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     return cc_mod.connected_components_auto(edges, sh.select("id"))

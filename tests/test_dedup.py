@@ -127,6 +127,122 @@ def test_simhash_deterministic(spark):
     assert a == b
 
 
+def _hash_df(spark, u64s):
+    """(id, simhash) frame from unsigned 64-bit hash values."""
+    to_i64 = lambda u: u - (1 << 64) if u >= (1 << 63) else u  # noqa: E731
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "id": pd.Series(range(len(u64s)), dtype="int64"),
+            "simhash": pd.Series([to_i64(u) for u in u64s], dtype="int64"),
+        })
+    )
+
+
+def test_simhash_block_keys_col_matches_python_spec(spark):
+    """The JVM composite-key expression must equal the pure-Python spec
+    (hashing.simhash_block_keys) bit-for-bit, including sign-critical
+    hashes with the top bit set, for both plan regimes (m=3 and m=1)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo2neo_spark.functions import hashing
+
+    rng = random.Random(99)
+    u64s = [0, (1 << 64) - 1, 1 << 63, 0xDEADBEEFCAFEBABE] + [
+        rng.getrandbits(64) for _ in range(60)
+    ]
+    for k in (3, 12):
+        df = _hash_df(spark, u64s).select(
+            "id", dedup.simhash_block_keys_col(F.col("simhash"), k).alias("ks")
+        )
+        got = {r.id: list(r.ks) for r in df.collect()}
+        for i, u in enumerate(u64s):
+            assert got[i] == hashing.simhash_block_keys(u, k), (i, hex(u), k)
+
+
+def test_simhash_blocking_is_complete_vs_brute_force(spark):
+    """Pigeonhole completeness: every pair within hamming<=3 must be
+    found by the t-of-b blocking (no-cap case).  Corpus engineered to
+    contain planted close pairs plus random-hash background."""
+    import random
+
+    rng = random.Random(7)
+    u64s = []
+    for _ in range(40):
+        base = rng.getrandbits(64)
+        u64s.append(base)
+        flip = base
+        for bit in rng.sample(range(64), rng.randint(1, 3)):
+            flip ^= 1 << bit
+        u64s.append(flip)  # planted pair at hamming 1-3
+    u64s += [rng.getrandbits(64) for _ in range(40)]
+    expected = {
+        (a, b)
+        for a in range(len(u64s))
+        for b in range(a + 1, len(u64s))
+        if bin(u64s[a] ^ u64s[b]).count("1") <= 3
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.simhash_candidate_pairs_from_hashes(
+            _hash_df(spark, u64s), max_hamming=3
+        ).collect()
+    }
+    assert got == expected
+    assert len(expected) >= 40  # the planted pairs were actually close
+
+
+def test_simhash_hot_bucket_cap_bounds_join_and_is_audited(spark):
+    """K3 on a skewed corpus: 300 identical hashes would contribute
+    C(300,2)*20 candidate rows without the cap; with cap=50 every bucket
+    they touch is dropped AND audited, while an untouched disjoint pair
+    in sparse buckets is still found."""
+    hot = [0xABCDEF0123456789] * 300
+    pair = [0x1111222233334444, 0x1111222233334445]  # hamming 1
+    u64s = hot + pair
+    sh = _hash_df(spark, u64s)
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.simhash_candidate_pairs_from_hashes(
+            sh, max_hamming=3, bucket_cap=50
+        ).collect()
+    }
+    assert pairs == {(300, 301)}  # hot mass dropped, sparse pair intact
+    dropped = dedup.simhash_dropped_buckets(sh, 3, bucket_cap=50).collect()
+    assert len(dropped) == 20  # every combo's hot bucket audited
+    assert all(r.bs == 300 for r in dropped)
+
+
+def test_simhash_clusters_match_pure_python_oracle(spark, tmp_path):
+    """End-to-end parity of simhash_dedup_components vs the
+    entry_oracle replica on a corpus with planted near-identical texts
+    (the same parity contract the driver's harness checks at sf0.01)."""
+    from mongo2neo_spark import entry_oracle
+
+    texts = []
+    for g in range(6):
+        base = " ".join(f"g{g}tok{i}" for i in range(120))
+        texts.append(base)
+        texts.append(base + " tail")
+    ids = list(range(len(texts)))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    expected = entry_oracle.simhash_cluster_rows(sf_dir=str(tmp_path))
+    got = sorted(
+        (r.id, r.component)
+        for r in dedup.simhash_dedup_components(
+            _docs(spark, texts)
+        ).collect()
+    )
+    assert got == [tuple(r) for r in expected]
+
+
 def test_ngram_jaccard_prefix_filter_is_complete(spark):
     """The prefix filter must find EVERY pair with exact jaccard >=
     threshold (no-cap case): compare against brute-force all-pairs
