@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from ..functions import probe as probe_mod
+
 _PLANE_SEED = 1337
+
+# query sets up to this size hash/assign on the driver (see the venue
+# comments in lsh_bucketed_topk / ivf_topk); shared across both paths
+_DRIVER_Q_MAX = 10_000
 
 
 def _cosine(a, b):
@@ -146,13 +152,12 @@ def lsh_bucketed_topk(
     # pays a Python-worker round trip (~1.5s, profiled) purely to hash a
     # handful of vectors.  Small query sets (the common case — the
     # corpus is the big side by construction) hash on the driver with
-    # the SAME numpy expression the UDF runs, bit-identically; the probe
-    # is one LIMIT max+1 collect, and large query sets keep the
-    # distributed path.
+    # the SAME numpy expression the UDF runs, bit-identically; the
+    # shared probe (functions.probe.driver_probe) is one LIMIT max+1
+    # job, and large query sets keep the distributed path.
     qx = None
-    _DRIVER_Q_MAX = 10_000
-    qrows = q.limit(_DRIVER_Q_MAX + 1).collect()
-    if len(qrows) <= _DRIVER_Q_MAX:
+    qrows = probe_mod.driver_probe(q, _DRIVER_Q_MAX)
+    if qrows is not None:
         import pandas as pd
 
         planes = _planes(dim, n_planes, n_tables)
@@ -302,9 +307,8 @@ def ivf_topk(
     # set's probe assignment is one single-task Python stage — hash it
     # on the driver with the identical numpy expression instead
     qx = None
-    _DRIVER_Q_MAX = 10_000
-    qrows = q.limit(_DRIVER_Q_MAX + 1).collect()
-    if len(qrows) <= _DRIVER_Q_MAX:
+    qrows = probe_mod.driver_probe(q, _DRIVER_Q_MAX)
+    if qrows is not None:
         import pandas as pd
 
         recs = []

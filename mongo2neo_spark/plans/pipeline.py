@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .. import rules
 from ..functions import hashing
+from ..functions import probe as probe_mod
 from ..operators import cc as cc_mod
 from ..operators import extract as extract_mod
 from ..operators import ingest as ingest_mod
@@ -189,9 +190,7 @@ def _stage_components(spark, paths, cfg, resume) -> None:
             nid = ments.select("norm").distinct().withColumn(
                 "id", F.xxhash64("norm")
             )
-            sample = nid.limit(cfg.driver_link_max + 1).collect()
-            if len(sample) > cfg.driver_link_max:
-                sample = None
+            sample = probe_mod.driver_probe(nid, cfg.driver_link_max)
         if sample is not None:
             comp_rows, dropped = link_mod.driver_link_components(
                 [(r.norm, r.id) for r in sample], cfg.band_cap, cfg.threshold
