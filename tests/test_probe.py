@@ -7,7 +7,8 @@ from mongo2neo_spark.functions.probe import driver_probe
 
 def _df(spark, n):
     return spark.createDataFrame(
-        pd.DataFrame({"x": pd.Series(range(n), dtype="int64")})
+        pd.DataFrame({"x": pd.Series(range(n), dtype="int64")}),
+        schema="x long",
     )
 
 
