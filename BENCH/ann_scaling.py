@@ -133,13 +133,17 @@ def render_section(report: dict) -> str:
 
 Same protocol as the KG/curation studies, over {report['input_vecs']:,}
 synthetic 32-dim embeddings clustered around 64 centroids
-(fixtures.generate_embeddings_distributed, seed 7): multi-table
-hyperplane-LSH top-10 (64 broadcast queries) and IVF top-10 (spherical
-k-means quantizer, 8-probe); embedding near-dup clustering runs on its
-own {report['N']['dedup_vecs']:,}-vector planted-duplicate corpus
+(fixtures.generate_embeddings_distributed, seed 7), in the round-4
+build-once/probe-many service shape: lsh_build/ivf_build hash the
+corpus ONCE into persisted key-sorted index tables; lsh_probe/ivf_probe
+then run 3 independent 64-query batches each against those tables
+(key-pruned scan + broadcast join + JVM cosine — no corpus re-hash, no
+Python).  Embedding near-dup clustering runs on its own
+{report['N']['dedup_vecs']:,}-vector planted-duplicate corpus
 (4-vector clusters at cosine ~0.99, {report['N']['dedup_planes']}
 planes/table = log2(n/32) so unrelated-vector bucket co-residence stays
-linear).  Result checksums asserted identical at both sizes.
+linear).  Result checksums (every probe batch + index row counts)
+asserted identical at both sizes.
 
 | workload | N wall (s) | 4N wall (s) | per-workload efficiency |
 |---|---|---|---|

@@ -569,6 +569,57 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many LSH: persist the bucket index to parquet,
+    then probe it (bkey-pruned scan + broadcast join, zero Python).
+    Results are identical to ann_lsh_topk by construction, so the same
+    exact neighbor-set oracle applies — which makes the identity a
+    driver-checked fact rather than a claim."""
+    import tempfile
+
+    from mongo2neo_spark.operators.similarity import (
+        build_lsh_bucket_index,
+        lsh_bucketed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx_path = tempfile.mkdtemp(prefix="m2n_lsh_idx_") + "/idx"
+    build_lsh_bucket_index(emb, n_planes=3, n_tables=16).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    out = lsh_bucketed_topk(
+        emb, emb.filter("vec_id < 5"), k=10, n_planes=3, n_tables=16,
+        index=spark.read.parquet(idx_path),
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many IVF: persisted inverted lists + cell-pruned
+    probe; same exact neighbor-set oracle as ann_ivf_topk."""
+    import tempfile
+
+    from mongo2neo_spark.operators.similarity import (
+        build_ivf_cell_index,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    idx_path = tempfile.mkdtemp(prefix="m2n_ivf_idx_") + "/idx"
+    build_ivf_cell_index(emb, cents).write.mode("overwrite").parquet(idx_path)
+    out = ivf_topk(
+        emb, emb.filter("vec_id < 5"), k=10, centroids=cents, n_probe=6,
+        index=spark.read.parquet(idx_path),
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2neo_spark.operators.dedup import minhash_dedup_components
 
@@ -1276,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": ann_ivf_recall,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_lsh_topk_indexed": ann_lsh_topk_indexed,
+        "ann_ivf_topk_indexed": ann_ivf_topk_indexed,
         "minhash_doc_clusters": minhash_doc_clusters,
         "ngram_jaccard_clusters": ngram_jaccard_clusters,
         "embedding_dedup_clusters": embedding_dedup_clusters,
@@ -1331,6 +1384,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": _ANN_IVF_SQL,
         "ann_lsh_topk": _eo().ann_lsh_topk_sql(),
         "ann_ivf_topk": _eo().ann_ivf_topk_sql(),
+        # indexed variants return identical rows by construction — same
+        # exact neighbor-set oracles, so identity is driver-checked
+        "ann_lsh_topk_indexed": _eo().ann_lsh_topk_sql(),
+        "ann_ivf_topk_indexed": _eo().ann_ivf_topk_sql(),
         "minhash_doc_clusters": _eo().minhash_clusters_sql(),
         "ngram_jaccard_clusters": _eo().ngram_jaccard_sql(),
         "embedding_dedup_clusters": _eo().embedding_clusters_sql(),

@@ -227,11 +227,23 @@ def connected_components_auto(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     edges.unpersist()
-    mapping = [(k, find(k)) for k in parent]
     spark = vertices.sparkSession
-    if not mapping:
+    if not parent:
         return vertices.select("id", F.col("id").alias("component"))
-    comp = spark.createDataFrame(mapping, "id long, component long")
+    # Arrow path back out too: a pandas frame of two int64 columns ships
+    # as one Arrow batch, where a python list of tuples would serialize
+    # row-by-row through py4j (measured seconds of serial driver time at
+    # ~10^5 components — a fixed cost that caps scaling efficiency)
+    import pandas as pd
+
+    ks = list(parent)
+    comp = spark.createDataFrame(
+        pd.DataFrame({
+            "id": pd.Series(ks, dtype="int64"),
+            "component": pd.Series([find(k) for k in ks], dtype="int64"),
+        }),
+        schema="id long, component long",
+    )
     # vertices not touched by any edge are singletons
     return (
         vertices.join(F.broadcast(comp), "id", "left")

@@ -111,6 +111,63 @@ def hyperplane_buckets_udf(dim: int, n_planes: int = 8, n_tables: int = 4):
     return buckets
 
 
+def _pack_bkey(tbl_col, bucket_col):
+    """(tbl, bucket) -> one sortable int64 key: tbl*2^32 + bucket.
+    Bucket values are sign patterns of n_planes <= 32 hyperplanes, so
+    they fit 32 bits; table ids are tiny."""
+    return tbl_col.cast("long") * F.lit(1 << 32) + bucket_col
+
+
+def build_lsh_bucket_index(
+    corpus: DataFrame,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(bkey, neighbor_id, _cv) — the corpus side of the LSH candidate
+    join, computed ONCE and laid out for probing: range-partitioned and
+    sorted by the packed (tbl, bucket) key, so a parquet write of this
+    frame yields row groups whose bkey min/max stats prune probe scans
+    down to the buckets a query set actually touches (a production ANN
+    service's build-once/probe-many shape).
+
+    Cost model: the build pays the corpus hashing UDF and one ~n_tables
+    x corpus shuffle ONCE; every subsequent :func:`lsh_bucketed_topk`
+    call with ``index=`` skips corpus hashing entirely and its probe is
+    a pruned scan + broadcast join + JVM cosine — zero Python.  Storage
+    is n_tables x the corpus vectors (documented trade: a production
+    deployment would store PQ/int8 codes per list; the layout and plan
+    shape are identical)."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    buckets = hyperplane_buckets_udf(dim, n_planes, n_tables)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    bx = c.select(
+        "neighbor_id", "_cv",
+        F.posexplode(buckets(F.col("_cv"))).alias("tbl", "bucket"),
+    ).select(
+        _pack_bkey(F.col("tbl"), F.col("bucket")).alias("bkey"),
+        "neighbor_id", "_cv",
+    )
+    n_parts = partitions or corpus.sparkSession.sparkContext.defaultParallelism * 2
+    return bx.repartitionByRange(n_parts, "bkey").sortWithinPartitions("bkey")
+
+
+def _topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,6 +177,7 @@ def lsh_bucketed_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing a
     hyperplane bucket with the query in ANY of ``n_tables`` independent
@@ -132,18 +190,27 @@ def lsh_bucketed_topk(
     more tables / fewer planes per table raise it (measure with
     :func:`ann_recall`; defaults hit recall@10 >= 0.9 on the testdata
     embeddings vs brute force).
+
+    ``index=`` (a :func:`build_lsh_bucket_index` frame, usually read
+    back from its persisted parquet) skips the corpus hashing entirely:
+    the probe becomes a bkey-pruned index scan + broadcast query join +
+    JVM cosine — no Python anywhere, and when the driver query venue is
+    active the probed bucket keys are pushed down as an IN filter so
+    parquet row-group stats skip every untouched bucket.  Results are
+    identical to the direct path (same plane family; parity-tested).
     """
     if dim is None:
-        dim = infer_dim(corpus, vec_col)
+        dim = infer_dim(queries if index is not None else corpus, vec_col)
     buckets = hyperplane_buckets_udf(dim, n_planes, n_tables)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-    )
-    cx = c.select(
-        "neighbor_id", "_cv",
-        F.posexplode(buckets(F.col("_cv"))).alias("tbl", "bucket"),
-    )
+    if index is None:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        cx = c.select(
+            "neighbor_id", "_cv",
+            F.posexplode(buckets(F.col("_cv"))).alias("tbl", "bucket"),
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
@@ -184,18 +251,29 @@ def lsh_bucketed_topk(
             "query_id", "_qv",
             F.posexplode(buckets(F.col("_qv"))).alias("tbl", "bucket"),
         )
-    cand = cx.join(F.broadcast(qx), ["tbl", "bucket"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    if index is not None:
+        qk = qx.select(
+            "query_id", "_qv",
+            _pack_bkey(F.col("tbl"), F.col("bucket")).alias("bkey"),
+        )
+        idx = index
+        if qrows is not None:
+            # driver venue knows every probed bucket -> IN filter reaches
+            # the parquet scan (row-group min/max pruning on the sorted
+            # bkey layout)
+            keys = sorted({(t << 32) | b for _, _, t, b in recs})
+            idx = idx.filter(F.col("bkey").isin(keys))
+        cand = idx.join(F.broadcast(qk), "bkey").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        cand = cx.join(F.broadcast(qx), ["tbl", "bucket"]).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
     scored = cand.select(
         "query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_cv")).alias("cos")
     ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _topk_from_scored(scored, k)
 
 
 def _spherical_kmeans(vecs, n_centroids: int, iters: int = 10):
@@ -270,6 +348,33 @@ def _centroid_assign_udf(centroids, n_probe: int):
     return assign
 
 
+def build_ivf_cell_index(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(cell, neighbor_id, _cv) — every corpus vector assigned to its
+    single nearest centroid's inverted list, range-partitioned and
+    sorted by cell so the persisted parquet's row-group stats prune
+    probe scans to the probed cells.  1x corpus storage (each vector
+    lives in exactly one list); the assignment UDF runs ONCE at build
+    instead of once per :func:`ivf_topk` call.  Train ``centroids``
+    first with :func:`train_ivf_centroids` and keep them with the
+    index — probes must use the same quantizer."""
+    c_assign = _centroid_assign_udf(centroids, 1)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).select(
+        F.element_at(c_assign(F.col("_cv")), 1).alias("cell"),
+        "neighbor_id", "_cv",
+    )
+    n_parts = partitions or corpus.sparkSession.sparkContext.defaultParallelism * 2
+    return c.repartitionByRange(n_parts, "cell").sortWithinPartitions("cell")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -279,6 +384,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their single nearest
     centroid's inverted list; each query probes its ``n_probe`` nearest
@@ -293,12 +399,19 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             corpus, n_centroids, id_col=id_col, vec_col=vec_col
         )
-    c_assign = _centroid_assign_udf(centroids, 1)
     q_assign = _centroid_assign_udf(centroids, n_probe)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("cell", F.element_at(c_assign(F.col("_cv")), 1))
+    if index is not None:
+        # build-once/probe-many: the persisted (cell, neighbor_id, _cv)
+        # inverted lists replace the per-call corpus assignment UDF; the
+        # driver query venue pushes the probed cell set down as an IN
+        # filter (row-group pruning on the sorted layout)
+        c = index
+    else:
+        c_assign = _centroid_assign_udf(centroids, 1)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        ).withColumn("cell", F.element_at(c_assign(F.col("_cv")), 1))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
@@ -332,18 +445,15 @@ def ivf_topk(
         qx = q.select(
             "query_id", "_qv", F.explode(q_assign(F.col("_qv"))).alias("cell")
         )
+    if index is not None and qrows is not None:
+        c = c.filter(F.col("cell").isin(sorted({cl for _, _, cl in recs})))
     cand = c.join(F.broadcast(qx), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(
         "query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_cv")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _topk_from_scored(scored, k)
 
 
 def ivf_recall(

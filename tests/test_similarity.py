@@ -142,3 +142,54 @@ def test_self_excluded(spark, emb_df):
     df, _ = emb_df
     out = similarity.brute_force_topk(df, df.filter("vec_id < 3"), k=5).collect()
     assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_lsh_indexed_probe_matches_direct_path(spark, emb_df, tmp_path):
+    """build_lsh_bucket_index persisted to parquet + index= probe must
+    return EXACTLY the direct path's rows (same plane family, same
+    cosines) — the build-once/probe-many service contract, including
+    the bkey IN-filter pruning the driver query venue adds."""
+    df, _ = emb_df
+    idx_path = str(tmp_path / "lsh_idx")
+    similarity.build_lsh_bucket_index(
+        df, n_planes=4, n_tables=6
+    ).write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    q = df.filter("vec_id < 4")
+    direct = sorted(
+        tuple(r)
+        for r in similarity.lsh_bucketed_topk(
+            df, q, k=5, n_planes=4, n_tables=6
+        ).collect()
+    )
+    probed = sorted(
+        tuple(r)
+        for r in similarity.lsh_bucketed_topk(
+            df, q, k=5, n_planes=4, n_tables=6, index=idx
+        ).collect()
+    )
+    assert probed == direct and len(direct) > 0
+
+
+def test_ivf_indexed_probe_matches_direct_path(spark, emb_df, tmp_path):
+    df, _ = emb_df
+    cents = similarity.train_ivf_centroids(df, n_centroids=4)
+    idx_path = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_cell_index(df, cents).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    q = df.filter("vec_id < 4")
+    direct = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            df, q, k=5, centroids=cents, n_probe=2
+        ).collect()
+    )
+    probed = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            df, q, k=5, centroids=cents, n_probe=2, index=idx
+        ).collect()
+    )
+    assert probed == direct and len(direct) > 0
