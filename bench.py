@@ -81,10 +81,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # protocol (pinned in round 4): FIXED query order, one explicit
+    # warm-up execution excluded from the measured window, then
+    # best-of-BEST_OF measured runs per query — so cold-cache ordering
+    # effects can't masquerade as engine regressions across rounds
+    # (round 3's graph_edges 2.23->3.11s drift was exactly that)
+    BEST_OF = 2
+
     def timed(name, fn):
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        fn()  # warm-up: codegen, page cache, Python workers — not measured
+        runs = []
+        for _ in range(BEST_OF):
+            t0 = time.monotonic()
+            fn()
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(min(runs), 3)
 
     # 1. the KG pipeline end-to-end (fresh out dir: no resume short-circuit).
     # Two runs, min taken: this host's throughput drifts run-to-run by

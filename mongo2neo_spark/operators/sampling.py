@@ -82,20 +82,28 @@ def quota_sample(
 
     Scale shape: one hash-partitioned window per domain.  A domain is a
     language/source — low cardinality but potentially huge rows-per-key,
-    so the window sort is the cost; it is the same sort a global
-    per-domain top-k needs, and Spark's rank-limit pushdown
-    (WindowGroupLimit) keeps only k rows per partition before the final
-    sort at reasonable quotas."""
+    so the window sort is the cost.  Spark's rank-limit pushdown
+    (WindowGroupLimit, Partial mode) only fires on a LITERAL rank bound
+    — the per-domain CASE quota alone defeats it and the hot domain's
+    full row set would sort in one task (found by the round-4 Zipf
+    straggler test).  Hence the extra ``_qrank <= max(quotas)`` literal
+    conjunct: the optimizer pushes that bound map-side, so at most
+    max(quotas) rows per upstream partition ever reach the hot domain's
+    final sort; the CASE filter then applies the exact per-domain cut.
+    Verified structurally by
+    tests/test_sampling.py::test_quota_sample_zipf_straggler_is_rank_limited."""
     from pyspark.sql import Window
 
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string")))
     quota = F.lit(int(default_quota))
+    max_quota = max([int(default_quota), *(int(k) for k in quotas.values())])
     for dom, k in sorted(quotas.items()):
         quota = F.when(F.col(domain_col) == dom, F.lit(int(k))).otherwise(quota)
     w = Window.partitionBy(domain_col).orderBy(key, c)
     return (
         df.withColumn("_qrank", F.row_number().over(w))
+        .where(F.col("_qrank") <= F.lit(max_quota))
         .where(F.col("_qrank") <= quota)
         .drop("_qrank")
     )

@@ -121,3 +121,40 @@ def test_quota_sample_matches_pure_python_and_is_stable(spark):
         ).collect()
     )
     assert got2 == got
+
+
+def test_quota_sample_zipf_straggler_is_rank_limited(spark):
+    """The docstring's scale claim, made structural: on a corpus where
+    ONE domain holds 90% of all rows, the per-domain window must carry
+    Spark's WindowGroupLimit pushdown in BOTH Partial (map-side, before
+    the shuffle) and Final mode — that is the mechanism that caps the
+    hot domain's task at ~k rows per upstream partition instead of
+    sorting 90% of the corpus in one task.  Plus exact counts + the
+    pure-python replica staying correct under the skew."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    n = 20_000
+    langs = ["hot" if i % 10 != 9 else ["de", "fr", "zh"][i % 3]
+             for i in range(n)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n), "lang": langs})
+    )
+    out = sampling.quota_sample(df, {"hot": 25, "de": 5}, seed=11)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit")[0] or \
+        plan.count("WindowGroupLimit") >= 2, plan
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["hot"]) == 25
+    assert len(by_lang["de"]) == 5
+    assert set(by_lang) == {"hot", "de"}
+    hot_ids = [i for i in range(n) if langs[i] == "hot"]
+    expect = sorted(sorted(
+        hot_ids, key=lambda i: (_hl.md5(f"11:{i}".encode()).hexdigest(), i)
+    )[:25])
+    assert sorted(by_lang["hot"]) == expect
