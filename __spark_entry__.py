@@ -1295,6 +1295,95 @@ SELECT doc_id, lang, quality, ROUND(pr, 6) AS pr FROM r WHERE pr < 0.25
 
 
 # ---------------------------------------------------------------------------
+# decontamination + PII scrubbing (operators/text.py round-4 additions)
+# ---------------------------------------------------------------------------
+def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word-8-gram with the
+    deterministic pseudo-eval set (every 97th document) are flagged.
+    The eval docs themselves are trivially contaminated, which makes the
+    positive path observable; full SQL mirror."""
+    from mongo2neo_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return textops.contamination_flags(docs, ev, n=8)
+
+
+_CONTAMINATION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, trim(COALESCE(text, '')) AS tt,
+         string_split_regex(trim(COALESCE(text, '')), '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(tt) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(w) - 7),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                          || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' '
+                          || w[i+6] || ' ' || w[i+7]))
+         END AS gs
+  FROM t
+),
+ev AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 97 = 0),
+dg AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_eval_hits
+  FROM dg JOIN ev USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       COALESCE(h.n_eval_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def pii_redaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub on documents with deterministic planted PII (synthetic
+    texts contain none, so an email + phone are appended per doc on BOTH
+    sides — the redaction path is exercised, not vacuously green)."""
+    from mongo2neo_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567."),
+        ),
+    )
+    return textops.redact_pii(docs)
+
+
+_PII_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567.' AS tt
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(tt,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(tt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '[EMAIL]', 'g') AS ne
+  FROM t
+)
+SELECT doc_id AS id,
+       regexp_replace(ne, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                      '[PHONE]', 'g') AS clean_text,
+       n_emails,
+       CAST(len(regexp_extract_all(ne,
+            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phones
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1351,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sampled": curation_sampled,
         "corpus_stats_by_lang": corpus_stats_by_lang,
         "top_quality_quartile_documents": top_quality_quartile_documents,
+        "contamination_check_documents": contamination_check_documents,
+        "pii_redaction_documents": pii_redaction_documents,
     }
 
 
@@ -1412,6 +1503,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_sampled": _curation_sampled_sql(),
         "corpus_stats_by_lang": _CORPUS_STATS_SQL,
         "top_quality_quartile_documents": _top_quartile_sql(),
+        "contamination_check_documents": _CONTAMINATION_SQL,
+        "pii_redaction_documents": _PII_SQL,
     }
 
 

@@ -316,3 +316,84 @@ def repetition_profile(
             & (F.col("dup_line_frac") < 0.3)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+def contamination_flags(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check, the published training-data
+    decontamination recipe (GPT-3 appendix C / PaLM style): a document
+    is contaminated if it shares ANY word-``n``-gram with the evaluation
+    set.  Output: (id, n_eval_hits, contaminated) — n_eval_hits counts
+    the doc's DISTINCT overlapping n-grams.
+
+    Scale shape: the eval set is benchmark-sized (thousands of docs) —
+    its distinct n-gram set broadcasts; the corpus n-gram stream is
+    filtered by the broadcast hash join MAP-SIDE, so only actual hits
+    (rare by construction) reach the per-doc aggregation.  The corpus is
+    scanned once, never shuffled; exact string n-grams, so there is no
+    hash-collision false-positive caveat.
+    """
+    from .dedup import word_shingles_col
+
+    did = F.col(id_col).alias("id")
+    grams = docs.select(
+        did, F.explode(word_shingles_col(F.col(text_col), n)).alias("g")
+    )
+    ev = eval_df.select(
+        F.explode(word_shingles_col(F.col(eval_text_col), n)).alias("g")
+    ).distinct()
+    hits = (
+        grams.join(F.broadcast(ev), "g")
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_eval_hits"))
+    )
+    return docs.select(did).join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_eval_hits", F.lit(0)).cast("bigint").alias("n_eval_hits"),
+        (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (C4-style scrubbing pass)
+# ---------------------------------------------------------------------------
+# conservative patterns with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): plain classes + bounded quantifiers + \b only
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails/phone numbers into typed placeholder tokens and
+    count what was removed: (id, clean_text, n_emails, n_phones).
+    Pure JVM regexp_extract_all/regexp_replace — a narrow map with zero
+    shuffle and zero Python, which is what you want for a pass that
+    touches every byte of a 100-TB corpus.  Emails are replaced first
+    so a phone-looking fragment inside an address can't double-count.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(
+        F.regexp_extract_all(c, F.lit(PII_EMAIL_PATTERN), F.lit(0))
+    ).cast("bigint")
+    no_email = F.regexp_replace(c, PII_EMAIL_PATTERN, "[EMAIL]")
+    n_phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(PII_PHONE_PATTERN), F.lit(0))
+    ).cast("bigint")
+    clean = F.regexp_replace(no_email, PII_PHONE_PATTERN, "[PHONE]")
+    return df.select(
+        F.col(id_col).alias("id"),
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )

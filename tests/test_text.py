@@ -182,3 +182,46 @@ def test_boilerplate_all_removed_doc(spark):
     rows = out.collect()
     assert all(r.clean_text == "" and r.n_lines_kept == 0 for r in rows)
     assert len(rows) == 8  # docs are kept (empty), not dropped
+
+
+def test_contamination_flags_detects_shared_ngrams(spark):
+    import pandas as pd
+
+    from mongo2neo_spark.operators import text as textops
+
+    eval_text = " ".join(f"ev{i}" for i in range(10))
+    clean = " ".join(f"cl{i}" for i in range(20))
+    # doc 1 embeds 8 consecutive eval tokens -> exactly contaminated
+    leak = "x y " + " ".join(f"ev{i}" for i in range(8)) + " z"
+    short = "ev0 ev1"  # <8 tokens: collapses to one joined shingle, no hit
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [clean, leak, short]})
+    )
+    ev = spark.createDataFrame(pd.DataFrame({"text": [eval_text]}))
+    got = {r.id: (r.n_eval_hits, r.contaminated)
+           for r in textops.contamination_flags(docs, ev, n=8).collect()}
+    assert got[0] == (0, False)
+    assert got[1] == (1, True)   # one distinct shared 8-gram
+    assert got[2] == (0, False)
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    import pandas as pd
+
+    from mongo2neo_spark.operators import text as textops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "mail a.b-c_d@ex-ample.org and x@y.io now",
+            "call 555-123-4567 or 123.456.7890",
+            "nothing here",
+        ],
+    }))
+    got = {r.id: r for r in textops.redact_pii(docs).collect()}
+    assert got[0].n_emails == 2 and got[0].n_phones == 0
+    assert got[0].clean_text == "mail [EMAIL] and [EMAIL] now"
+    assert got[1].n_emails == 0 and got[1].n_phones == 2
+    assert got[1].clean_text == "call [PHONE] or [PHONE]"
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].clean_text == "nothing here"
