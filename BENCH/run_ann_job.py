@@ -44,12 +44,12 @@ def main() -> None:
     args = ap.parse_args()
 
     from mongo2neo_spark.operators.similarity import (
-        build_ivf_cell_index,
-        build_lsh_bucket_index,
         embedding_dedup_components,
         ivf_topk,
         lsh_bucketed_topk,
         train_ivf_centroids,
+        write_ivf_cell_index,
+        write_lsh_bucket_index,
     )
     from mongo2neo_spark.session import DEFAULT_CONFS
 
@@ -93,9 +93,7 @@ def main() -> None:
 
     # ---- LSH: build once ...
     t0 = time.monotonic()
-    build_lsh_bucket_index(corpus).write.mode("overwrite").parquet(
-        f"{idx_root}/lsh"
-    )
+    write_lsh_bucket_index(corpus, f"{idx_root}/lsh")
     lsh_idx = spark.read.parquet(f"{idx_root}/lsh")
     checks["lsh_index_rows"] = {"n": lsh_idx.count()}
     walls["lsh_build"] = round(time.monotonic() - t0, 2)
@@ -111,9 +109,7 @@ def main() -> None:
     # ---- IVF: train + build once ...
     t0 = time.monotonic()
     cents = train_ivf_centroids(corpus, n_centroids=32)
-    build_ivf_cell_index(corpus, cents).write.mode("overwrite").parquet(
-        f"{idx_root}/ivf"
-    )
+    write_ivf_cell_index(corpus, cents, f"{idx_root}/ivf")
     ivf_idx = spark.read.parquet(f"{idx_root}/ivf")
     checks["ivf_index_rows"] = {"n": ivf_idx.count()}
     walls["ivf_build"] = round(time.monotonic() - t0, 2)

@@ -159,6 +159,79 @@ def build_lsh_bucket_index(
     return bx.repartitionByRange(n_parts, "bkey").sortWithinPartitions("bkey")
 
 
+def write_lsh_bucket_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitions: int | None = None,
+) -> None:
+    """Persist-once build: ``repartitionByRange`` SAMPLES its child to
+    pick range boundaries, which would run the corpus hashing UDF twice
+    (measured ~2x build wall at 1M vectors).  Cache the assignment
+    stream, materialize it once, then let the sampling pass and the
+    real shuffle both read the cache."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    buckets = hyperplane_buckets_udf(dim, n_planes, n_tables)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    bx = c.select(
+        "neighbor_id", "_cv",
+        F.posexplode(buckets(F.col("_cv"))).alias("tbl", "bucket"),
+    ).select(
+        _pack_bkey(F.col("tbl"), F.col("bucket")).alias("bkey"),
+        "neighbor_id", "_cv",
+    ).persist()
+    try:
+        bx.count()
+        n_parts = (
+            partitions
+            or corpus.sparkSession.sparkContext.defaultParallelism * 2
+        )
+        bx.repartitionByRange(n_parts, "bkey").sortWithinPartitions(
+            "bkey"
+        ).write.mode("overwrite").parquet(path)
+    finally:
+        bx.unpersist()
+
+
+def write_ivf_cell_index(
+    corpus: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitions: int | None = None,
+) -> None:
+    """Persist-once IVF build (same double-UDF rationale as
+    :func:`write_lsh_bucket_index`)."""
+    c_assign = _centroid_assign_udf(centroids, 1)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).select(
+        F.element_at(c_assign(F.col("_cv")), 1).alias("cell"),
+        "neighbor_id", "_cv",
+    ).persist()
+    try:
+        c.count()
+        n_parts = (
+            partitions
+            or corpus.sparkSession.sparkContext.defaultParallelism * 2
+        )
+        c.repartitionByRange(n_parts, "cell").sortWithinPartitions(
+            "cell"
+        ).write.mode("overwrite").parquet(path)
+    finally:
+        c.unpersist()
+
+
 def _topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
