@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import probe as probe_mod
 
@@ -187,7 +188,12 @@ def write_lsh_bucket_index(
     ).select(
         _pack_bkey(F.col("tbl"), F.col("bucket")).alias("bkey"),
         "neighbor_id", "_cv",
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
+    # DISK_ONLY, not the default: the assignment stream is ~n_tables x
+    # corpus of wide vector rows — deserialized in-heap caching of that
+    # killed 5g executors at 4M vectors, while the compressed disk copy
+    # (spark.local.dir on tmpfs in the harness) is a fraction of the
+    # size and both readers stream it
     try:
         bx.count()
         n_parts = (
@@ -218,7 +224,7 @@ def write_ivf_cell_index(
     ).select(
         F.element_at(c_assign(F.col("_cv")), 1).alias("cell"),
         "neighbor_id", "_cv",
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     try:
         c.count()
         n_parts = (
