@@ -111,6 +111,42 @@ def main() -> None:
     sections[
         "deterministic shuffle (single range exchange + in-partition sort)"
     ] = plan_of(sampling_mod.deterministic_shuffle(docs))
+    sections[
+        "quota sample (Partial WindowGroupLimit from the literal rank bound)"
+    ] = plan_of(sampling_mod.quota_sample(docs, {"en": 10, "de": 5}))
+    sections[
+        "simhash candidate pairs (codegen Manku block keys, capped buckets, "
+        "bit_count verify)"
+    ] = plan_of(
+        dedup_mod.simhash_candidate_pairs_from_hashes(
+            dedup_mod.simhash_groups(docs)
+        )
+    )
+    sections[
+        "contamination flags (broadcast eval n-grams, map-side hit filter)"
+    ] = plan_of(
+        text_mod.contamination_flags(docs, docs.filter("doc_id % 97 = 0"))
+    )
+    sections["pii redaction (pure narrow regexp map)"] = plan_of(
+        text_mod.redact_pii(docs)
+    )
+    # indexed ANN probe: the bkey IN filter must reach the parquet scan
+    import tempfile
+
+    from mongo2neo_spark.operators import similarity as sim_mod
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx_path = tempfile.mkdtemp(prefix="m2n_explain_idx_") + "/lsh"
+    sim_mod.write_lsh_bucket_index(emb, idx_path, n_planes=3, n_tables=4)
+    sections[
+        "indexed LSH probe (bkey IN pushdown into the index scan, "
+        "broadcast queries, zero Python)"
+    ] = plan_of(
+        sim_mod.lsh_bucketed_topk(
+            emb, emb.filter("vec_id < 3"), k=5, n_planes=3, n_tables=4,
+            index=spark.read.parquet(idx_path),
+        )
+    )
 
     audits = []
     for name, plan in sections.items():
