@@ -33,8 +33,31 @@ _PLANE_SEED = 1337
 _DRIVER_Q_MAX = 10_000
 
 
-def _cosine(a, b):
-    """JVM-side cosine between two array<double> columns."""
+def _cosine(a, b, dim: int | None = None):
+    """JVM-side cosine between two array<double> columns.
+
+    With ``dim`` known at plan time the three folds are UNROLLED into
+    flat Add/Multiply chains over ``element_at`` — Spark's higher-order
+    ``aggregate``/``zip_with`` lambdas are evaluated interpreted per
+    element even inside codegen'd operators, and profiling showed them
+    dominating every verify/probe stage (the ivf_probe wall is almost
+    entirely this expression).  The unrolled chain is built in the
+    exact fold order — (((0.0 + x1) + x2) + ...) — so its IEEE result
+    is bit-identical to the generic path (parity-tested): swapping in
+    ``dim`` can never change a cosine, a rank, or an oracle hash."""
+    if dim is not None:
+        ac = a if not isinstance(a, str) else F.col(a)
+        bc = b if not isinstance(b, str) else F.col(b)
+        ea = [ac.getItem(i) for i in range(dim)]
+        eb = [bc.getItem(i) for i in range(dim)]
+        dot = F.lit(0.0)
+        sa = F.lit(0.0)
+        sb = F.lit(0.0)
+        for x, y in zip(ea, eb):
+            dot = dot + x * y
+            sa = sa + x * x
+            sb = sb + y * y
+        return dot / (F.sqrt(sa) * F.sqrt(sb))
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -64,11 +87,13 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
+    dim = infer_dim(corpus, vec_col)
     scored = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = scored.select(
-        "query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        "query_id", "neighbor_id",
+        _cosine(F.col("_qv"), F.col("_cv"), dim).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -350,7 +375,8 @@ def lsh_bucketed_topk(
             F.col("query_id") != F.col("neighbor_id")
         )
     scored = cand.select(
-        "query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        "query_id", "neighbor_id",
+        _cosine(F.col("_qv"), F.col("_cv"), dim).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     return _topk_from_scored(scored, k)
 
@@ -530,7 +556,10 @@ def ivf_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(
-        "query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        "query_id", "neighbor_id",
+        _cosine(
+            F.col("_qv"), F.col("_cv"), int(np.asarray(centroids).shape[1])
+        ).alias("cos"),
     )
     return _topk_from_scored(scored, k)
 
@@ -616,6 +645,13 @@ def embedding_dedup_components(
     ).join(
         base.select(F.col("id").alias("b_id"), F.col("_v").alias("b_v")), "b_id"
     )
+    # NOTE: this stays on the generic fold — A/B at 20k showed the
+    # unrolled chain REGRESSING this operator 5x (6.5s -> 35s): the
+    # ~600-node expression feeds the iterative CC's repeatedly
+    # re-optimized plans, where the fold's single HigherOrderFunction
+    # node stays cheap for the optimizer.  The unrolled form wins only
+    # in the linear probe/brute-force plans (measured 2.7x on the
+    # expression, big probe-wall wins at 4M).
     verified = with_vecs.withColumn(
         "cos", _cosine(F.col("a_v"), F.col("b_v"))
     ).filter(F.col("cos") >= threshold)
