@@ -182,6 +182,14 @@ def write_section(report: dict) -> None:
 
 
 def main() -> None:
+    # a killed run leaks its /dev/shm index dir (the job only cleans up
+    # on success) — sweep stale ones so repeated studies don't bloat
+    # tmpfs and skew page-cache behavior between legs
+    import glob
+    import shutil
+
+    for d in glob.glob("/dev/shm/m2n_ann_idx_*"):
+        shutil.rmtree(d, ignore_errors=True)
     ensure_input()
     zpath = build_pyfiles_zip()
     # This VM's hardware scaling ceiling drifts +-30% minute-to-minute

@@ -193,3 +193,53 @@ def test_ivf_indexed_probe_matches_direct_path(spark, emb_df, tmp_path):
         ).collect()
     )
     assert probed == direct and len(direct) > 0
+
+
+def test_write_index_writers_match_build_layout(spark, emb_df, tmp_path):
+    """write_lsh_bucket_index / write_ivf_cell_index (the persist-once
+    DISK_ONLY writers the scaling job uses) must produce indexes whose
+    probes return exactly the direct path's rows, and the parquet must
+    be key-sorted within files (the row-group pruning precondition)."""
+    from pyspark.sql import functions as F
+
+    df, _ = emb_df
+    lsh_path = str(tmp_path / "lsh_w")
+    similarity.write_lsh_bucket_index(df, lsh_path, n_planes=4, n_tables=6)
+    idx = spark.read.parquet(lsh_path)
+    q = df.filter("vec_id < 4")
+    direct = sorted(
+        tuple(r) for r in similarity.lsh_bucketed_topk(
+            df, q, k=5, n_planes=4, n_tables=6
+        ).collect()
+    )
+    probed = sorted(
+        tuple(r) for r in similarity.lsh_bucketed_topk(
+            df, q, k=5, n_planes=4, n_tables=6, index=idx
+        ).collect()
+    )
+    assert probed == direct and len(direct) > 0
+    # sorted-within-file: bkey must be non-decreasing inside each file
+    rows = idx.select(
+        F.input_file_name().alias("f"), "bkey",
+        F.monotonically_increasing_id().alias("ord"),
+    ).orderBy("ord").collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.f, []).append(r.bkey)
+    assert all(ks == sorted(ks) for ks in by_file.values())
+
+    cents = similarity.train_ivf_centroids(df, n_centroids=4)
+    ivf_path = str(tmp_path / "ivf_w")
+    similarity.write_ivf_cell_index(df, cents, ivf_path)
+    ivf_idx = spark.read.parquet(ivf_path)
+    d2 = sorted(
+        tuple(r) for r in similarity.ivf_topk(
+            df, q, k=5, centroids=cents, n_probe=2
+        ).collect()
+    )
+    p2 = sorted(
+        tuple(r) for r in similarity.ivf_topk(
+            df, q, k=5, centroids=cents, n_probe=2, index=ivf_idx
+        ).collect()
+    )
+    assert p2 == d2 and len(d2) > 0
