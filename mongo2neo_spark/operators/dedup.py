@@ -543,3 +543,16 @@ def simhash_dedup_components(df: DataFrame, text_col: str = "text",
     pairs = simhash_candidate_pairs_from_hashes(sh, max_hamming, bucket_cap)
     edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     return cc_mod.connected_components_auto(edges, sh.select("id"))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bucket_cap: int = hashing.BAND_CAP) -> DataFrame:
+    """Near-dup dedup under SimHash hamming distance: keep the min-id
+    document of each cluster (same survivor rule as minhash_dedup)."""
+    comp = simhash_dedup_components(df, text_col, id_col, max_hamming,
+                                    bucket_cap)
+    survivors = comp.groupBy("component").agg(F.min("id").alias("keep_id"))
+    return df.join(
+        survivors.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )

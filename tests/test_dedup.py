@@ -316,3 +316,13 @@ def test_shingle_hash_udf_equals_jvm_col_as_sets(spark):
     ).collect()
     for r in out:
         assert list(r.udf) == list(r.jvm), (r.t, r.udf, r.jvm)
+
+
+def test_simhash_dedup_keeps_min_id_per_cluster(spark):
+    # exact duplicates are hamming-0 by construction; the default
+    # max_hamming=3 merges them while the unrelated doc survives
+    base = " ".join(f"s{i}" for i in range(150))
+    far = " ".join(f"t{i}" for i in range(150))
+    df = _docs(spark, [base, base, far, base])
+    kept = sorted(r.doc_id for r in dedup.simhash_dedup(df).collect())
+    assert kept == [0, 2]
