@@ -574,50 +574,65 @@ def ann_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     then probe it (bkey-pruned scan + broadcast join, zero Python).
     Results are identical to ann_lsh_topk by construction, so the same
     exact neighbor-set oracle applies — which makes the identity a
-    driver-checked fact rather than a claim."""
+    driver-checked fact rather than a claim.  Uses the path-based index
+    round trip (metadata sidecar written at build, validated at probe);
+    the result frame is materialized before the temp index dir is swept
+    so repeated harness runs leave no /tmp residue."""
+    import shutil
     import tempfile
 
     from mongo2neo_spark.operators.similarity import (
-        build_lsh_bucket_index,
         lsh_bucketed_topk,
+        write_lsh_bucket_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx_path = tempfile.mkdtemp(prefix="m2n_lsh_idx_") + "/idx"
-    build_lsh_bucket_index(emb, n_planes=3, n_tables=16).write.mode(
-        "overwrite"
-    ).parquet(idx_path)
-    out = lsh_bucketed_topk(
-        emb, emb.filter("vec_id < 5"), k=10, n_planes=3, n_tables=16,
-        index=spark.read.parquet(idx_path),
-    )
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
-    )
+    root = tempfile.mkdtemp(prefix="m2n_lsh_idx_")
+    try:
+        write_lsh_bucket_index(emb, f"{root}/idx", n_planes=3, n_tables=16)
+        out = lsh_bucketed_topk(
+            emb, emb.filter("vec_id < 5"), k=10, n_planes=3, n_tables=16,
+            index=f"{root}/idx",
+        ).select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+        # the driver compares collected rows; the scan must happen while
+        # the index files still exist
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once/probe-many IVF: persisted inverted lists + cell-pruned
-    probe; same exact neighbor-set oracle as ann_ivf_topk."""
+    probe; same exact neighbor-set oracle as ann_ivf_topk.  The probe
+    passes NO centroids — the quantizer rides the index's metadata
+    sidecar (write_ivf_cell_index/read_ivf_cell_index round trip), so
+    build and probe cannot use different quantizers.  Temp index dir is
+    swept after the result is materialized."""
+    import shutil
     import tempfile
 
     from mongo2neo_spark.operators.similarity import (
-        build_ivf_cell_index,
         ivf_topk,
         train_ivf_centroids,
+        write_ivf_cell_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, n_centroids=8)
-    idx_path = tempfile.mkdtemp(prefix="m2n_ivf_idx_") + "/idx"
-    build_ivf_cell_index(emb, cents).write.mode("overwrite").parquet(idx_path)
-    out = ivf_topk(
-        emb, emb.filter("vec_id < 5"), k=10, centroids=cents, n_probe=6,
-        index=spark.read.parquet(idx_path),
-    )
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
-    )
+    root = tempfile.mkdtemp(prefix="m2n_ivf_idx_")
+    try:
+        write_ivf_cell_index(emb, cents, f"{root}/idx")
+        out = ivf_topk(
+            emb, emb.filter("vec_id < 5"), k=10, n_probe=6,
+            index=f"{root}/idx",
+        ).select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -243,3 +243,124 @@ def test_write_index_writers_match_build_layout(spark, emb_df, tmp_path):
         ).collect()
     )
     assert p2 == d2 and len(d2) > 0
+
+
+def test_index_meta_roundtrip_path_probe(spark, emb_df, tmp_path):
+    """Path-form index= loads the metadata sidecar; probing by path with
+    matching params returns exactly the direct rows, and the IVF path
+    probe needs NO explicit centroids — the quantizer rides the index
+    (json float round-trip is exact, so cosines are bit-identical)."""
+    df, _ = emb_df
+    q = df.filter("vec_id < 4")
+
+    lsh_path = str(tmp_path / "lsh_m")
+    similarity.write_lsh_bucket_index(df, lsh_path, n_planes=4, n_tables=6)
+    meta = similarity.read_index_meta(lsh_path)
+    assert meta == {"kind": "lsh", "n_planes": 4, "n_tables": 6,
+                    "dim": 16, "plane_seed": similarity._PLANE_SEED}
+    direct = sorted(
+        tuple(r) for r in similarity.lsh_bucketed_topk(
+            df, q, k=5, n_planes=4, n_tables=6
+        ).collect()
+    )
+    probed = sorted(
+        tuple(r) for r in similarity.lsh_bucketed_topk(
+            df, q, k=5, n_planes=4, n_tables=6, index=lsh_path
+        ).collect()
+    )
+    assert probed == direct and len(direct) > 0
+
+    cents = similarity.train_ivf_centroids(df, n_centroids=4)
+    ivf_path = str(tmp_path / "ivf_m")
+    similarity.write_ivf_cell_index(df, cents, ivf_path)
+    _, loaded, m2 = similarity.read_ivf_cell_index(spark, ivf_path)
+    assert (loaded == cents).all() and m2["n_centroids"] == 4
+    d2 = sorted(
+        tuple(r) for r in similarity.ivf_topk(
+            df, q, k=5, centroids=cents, n_probe=2
+        ).collect()
+    )
+    p2 = sorted(
+        tuple(r) for r in similarity.ivf_topk(
+            df, q, k=5, n_probe=2, index=ivf_path  # no centroids passed
+        ).collect()
+    )
+    assert p2 == d2 and len(d2) > 0
+
+
+def test_mismatched_index_params_fail_loudly(spark, emb_df, tmp_path):
+    """Probing a persisted index with a different plane family or a
+    different quantizer must raise, never silently return wrong
+    neighbors (the ADVICE medium finding)."""
+    import numpy as np
+    import pytest
+
+    df, _ = emb_df
+    q = df.filter("vec_id < 2")
+
+    lsh_path = str(tmp_path / "lsh_bad")
+    similarity.write_lsh_bucket_index(df, lsh_path, n_planes=4, n_tables=6)
+    with pytest.raises(ValueError, match="n_planes"):
+        similarity.lsh_bucketed_topk(
+            df, q, k=5, n_planes=3, n_tables=6, index=lsh_path
+        )
+    with pytest.raises(ValueError, match="n_tables"):
+        similarity.lsh_bucketed_topk(
+            df, q, k=5, n_planes=4, n_tables=8, index=lsh_path
+        )
+
+    cents = similarity.train_ivf_centroids(df, n_centroids=4)
+    ivf_path = str(tmp_path / "ivf_bad")
+    similarity.write_ivf_cell_index(df, cents, ivf_path)
+    other = np.asarray(cents) + 0.5
+    with pytest.raises(ValueError, match="centroid_hash"):
+        similarity.ivf_topk(
+            df, q, k=5, centroids=other, n_probe=2, index=ivf_path
+        )
+    # a probe pointed at the wrong index KIND fails too
+    with pytest.raises(ValueError, match="lsh"):
+        similarity.ivf_topk(df, q, k=5, n_probe=2, index=lsh_path)
+
+
+def test_empty_queries_with_index_returns_empty(spark, emb_df, tmp_path):
+    """index= + an empty query frame returns an empty result (matching
+    the direct path, which infers dim from the corpus) instead of
+    raising from infer_dim(queries)."""
+    df, _ = emb_df
+    none = df.filter("vec_id < 0")
+
+    lsh_path = str(tmp_path / "lsh_e")
+    similarity.write_lsh_bucket_index(df, lsh_path, n_planes=4, n_tables=6)
+    assert similarity.lsh_bucketed_topk(
+        df, none, k=5, n_planes=4, n_tables=6, index=lsh_path
+    ).count() == 0
+    # DataFrame-form index (no sidecar): dim falls back to index rows
+    assert similarity.lsh_bucketed_topk(
+        df, none, k=5, n_planes=4, n_tables=6,
+        index=spark.read.parquet(lsh_path),
+    ).count() == 0
+
+    cents = similarity.train_ivf_centroids(df, n_centroids=4)
+    ivf_path = str(tmp_path / "ivf_e")
+    similarity.write_ivf_cell_index(df, cents, ivf_path)
+    assert similarity.ivf_topk(
+        df, none, k=5, n_probe=2, index=ivf_path
+    ).count() == 0
+    # direct paths stay consistent
+    assert similarity.brute_force_topk(df, none, k=5).count() == 0
+
+
+def test_unroll_strategies_bit_identical(spark, emb_df):
+    """The size-adaptive cosine unroll is an expression-strategy choice
+    only: forced-unrolled and forced-fold runs return bit-identical
+    rows on every path (the IEEE fold-order-preservation contract)."""
+    df, _ = emb_df
+    q = df.filter("vec_id < 3")
+    for fn, kw in (
+        (similarity.brute_force_topk, {}),
+        (similarity.lsh_bucketed_topk, {"n_planes": 4, "n_tables": 6}),
+        (similarity.ivf_topk, {"n_centroids": 4, "n_probe": 2}),
+    ):
+        a = sorted(tuple(r) for r in fn(df, q, k=5, unroll=True, **kw).collect())
+        b = sorted(tuple(r) for r in fn(df, q, k=5, unroll=False, **kw).collect())
+        assert a == b and len(a) > 0

@@ -136,17 +136,24 @@ def main() -> None:
     from mongo2neo_spark.operators import similarity as sim_mod
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    idx_path = tempfile.mkdtemp(prefix="m2n_explain_idx_") + "/lsh"
-    sim_mod.write_lsh_bucket_index(emb, idx_path, n_planes=3, n_tables=4)
-    sections[
-        "indexed LSH probe (bkey IN pushdown into the index scan, "
-        "broadcast queries, zero Python)"
-    ] = plan_of(
-        sim_mod.lsh_bucketed_topk(
-            emb, emb.filter("vec_id < 3"), k=5, n_planes=3, n_tables=4,
-            index=spark.read.parquet(idx_path),
+    idx_root = tempfile.mkdtemp(prefix="m2n_explain_idx_")
+    try:
+        sim_mod.write_lsh_bucket_index(
+            emb, f"{idx_root}/lsh", n_planes=3, n_tables=4
         )
-    )
+        sections[
+            "indexed LSH probe (bkey IN pushdown into the index scan, "
+            "broadcast queries, zero Python)"
+        ] = plan_of(
+            sim_mod.lsh_bucketed_topk(
+                emb, emb.filter("vec_id < 3"), k=5, n_planes=3, n_tables=4,
+                index=f"{idx_root}/lsh",
+            )
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(idx_root, ignore_errors=True)
 
     audits = []
     for name, plan in sections.items():
