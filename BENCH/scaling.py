@@ -52,12 +52,14 @@ _execs = os.environ.get("M2N_SCALE_EXECS", "1,4").split(",")
 SIZES = {"N": int(_execs[0]), "4N": int(_execs[1])}  # executors
 
 
-def host_calibration(cores_a: int, cores_b: int) -> dict:
-    """Hardware ceiling: how well does this HOST scale a fixed, purely
-    CPU-bound Python regex workload (the same work class as the
-    extraction UDF) from ``cores_a`` to ``cores_b`` pinned cores?  No
-    Spark involved — any shortfall here is hypervisor/memory-bandwidth
-    physics that no engine can beat."""
+def host_calibration_wall(cores: int) -> float:
+    """Wall seconds of the FIXED pure-CPU calibration workload (regex
+    over a constant text — the same work class as the extraction UDF)
+    on ``cores`` pinned cores.  The single-point form bench.py embeds in
+    every BENCH_r{N}.json so cross-round driver comparisons can be
+    normalized for host drift (this VM's throughput swings ~±20-40%
+    hour to hour; round 4's driver numbers read 1.4x slow purely from
+    a slow host window)."""
     import textwrap
 
     prog = textwrap.dedent(
@@ -81,14 +83,20 @@ def host_calibration(cores_a: int, cores_b: int) -> dict:
     )
     with open("/tmp/m2n_host_cal.py", "w") as f:
         f.write(prog)
-    out = {}
-    for c in (cores_a, cores_b):
-        r = subprocess.run(
-            ["taskset", "-c", f"0-{c - 1}", sys.executable,
-             "/tmp/m2n_host_cal.py", str(c)],
-            capture_output=True, text=True, timeout=600,
-        )
-        out[c] = float(r.stdout.strip())
+    r = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+         "/tmp/m2n_host_cal.py", str(cores)],
+        capture_output=True, text=True, timeout=600,
+    )
+    return float(r.stdout.strip())
+
+
+def host_calibration(cores_a: int, cores_b: int) -> dict:
+    """Hardware ceiling: how well does this HOST scale the fixed
+    calibration workload from ``cores_a`` to ``cores_b`` pinned cores?
+    No Spark involved — any shortfall here is hypervisor/memory-
+    bandwidth physics that no engine can beat."""
+    out = {c: host_calibration_wall(c) for c in (cores_a, cores_b)}
     ratio = out[cores_a] / out[cores_b]
     out["ceiling"] = round(ratio / (cores_b / cores_a), 3)
     return out

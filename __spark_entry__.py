@@ -1399,6 +1399,61 @@ FROM e
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (operators/dedup.py round-5 additions)
+# ---------------------------------------------------------------------------
+def substring_dup_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact-substring duplication profile (the Lee et al.
+    suffix-array recipe re-expressed as distributed group-bys): per doc,
+    how many of its word-8-gram windows occur verbatim in another doc.
+    dup_window_ppm is integer parts-per-million (integer division on
+    both engines — no float-rounding hash fragility).  Full SQL mirror
+    over exact gram strings."""
+    from mongo2neo_spark.operators.dedup import duplicated_window_profile
+
+    return duplicated_window_profile(_t(spark, sf_dir, "documents"), k=8)
+
+
+_SUBSTRING_PROFILE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, trim(COALESCE(text, '')) AS tt,
+         string_split_regex(trim(COALESCE(text, '')), '\s+') AS w
+  FROM documents
+),
+nw AS (
+  SELECT doc_id,
+         CASE WHEN length(tt) = 0 THEN 0
+              ELSE greatest(len(w) - 7, 0) END AS n_win
+  FROM t
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(w) - 7),
+           i -> array_to_string(w[i:i+7], ' '))) AS gram
+  FROM t WHERE length(tt) > 0 AND len(w) >= 8
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+c AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN d USING (gram) GROUP BY doc_id)
+SELECT nw.doc_id AS id,
+       CAST(nw.n_win AS BIGINT) AS n_windows,
+       CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CAST(CASE WHEN nw.n_win > 0
+                 THEN (1000000 * COALESCE(c.n_dup, 0)) // nw.n_win
+                 ELSE 0 END AS BIGINT) AS dup_window_ppm
+FROM nw LEFT JOIN c USING (doc_id)
+"""
+
+
+def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup proper: duplicated >=8-token spans removed
+    from every doc except each gram's keeper (min doc id), clean text
+    rebuilt JVM-side.  Oracle: pure-Python spec replica rendered as
+    VALUES (entry_oracle.substring_dedup_rows)."""
+    from mongo2neo_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(_t(spark, sf_dir, "documents"), k=8)
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1457,6 +1512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_quality_quartile_documents": top_quality_quartile_documents,
         "contamination_check_documents": contamination_check_documents,
         "pii_redaction_documents": pii_redaction_documents,
+        "substring_dup_profile_documents": substring_dup_profile_documents,
+        "substring_dedup_documents": substring_dedup_documents,
     }
 
 
@@ -1520,6 +1577,8 @@ def oracle_sql() -> dict[str, str]:
         "top_quality_quartile_documents": _top_quartile_sql(),
         "contamination_check_documents": _CONTAMINATION_SQL,
         "pii_redaction_documents": _PII_SQL,
+        "substring_dup_profile_documents": _SUBSTRING_PROFILE_SQL,
+        "substring_dedup_documents": _eo().substring_dedup_sql(),
     }
 
 

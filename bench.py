@@ -29,6 +29,16 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 _N_CONVS = {"sf0.001": 30, "sf0.01": 80, "sf0.1": 250}
 CACHE_ROOT = "/tmp/m2n_bench_cache"
 
+# reference wall of the fixed pure-CPU calibration workload
+# (BENCH/scaling.py::host_calibration_wall) at 32 cores, measured in a
+# healthy host window on 2026-08-17 (min of 4 runs: 2.343..2.482s).
+# Each suite run re-measures the same workload and emits both numbers;
+# r2_comparable_normalized_sec = r2_comparable * REF / measured factors
+# the host's minute-to-minute drift (~±20-40% on this shared VM) out of
+# cross-round comparisons — round 4's driver bench read 1.4x slow vs
+# two independent local runs purely from a slow host window.
+HOST_CAL_REF_SEC = 2.35
+
 
 def _sf_name() -> str:
     return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
@@ -53,6 +63,15 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from mongo2neo_spark.session import get_spark
+
+    # host calibration BEFORE the JVM spins up (pinned to the same core
+    # budget the suite gets); min-of-2, same convention as the timings
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "BENCH"))
+    from scaling import host_calibration_wall
+
+    host_cal = round(min(host_calibration_wall(int(CPUS))
+                         for _ in range(2)), 3)
 
     spark = get_spark(
         app_name="m2n-bench",
@@ -172,6 +191,14 @@ def main() -> None:
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / timings["kg_pipeline"], 1),
                 "r2_comparable_wall_sec": r2_comparable,
+                "host_calibration": {
+                    "workload_sec": host_cal,
+                    "ref_sec": HOST_CAL_REF_SEC,
+                    "host_speed_vs_ref": round(HOST_CAL_REF_SEC / host_cal, 3),
+                },
+                "r2_comparable_normalized_sec": round(
+                    r2_comparable * HOST_CAL_REF_SEC / host_cal, 3
+                ),
                 "cpus": int(CPUS),
             }
         )

@@ -675,3 +675,45 @@ def multimodal_sql() -> str:
         multimodal_rows(),
         [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("n_bytes", "BIGINT")],
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup replica
+# ---------------------------------------------------------------------------
+def substring_dedup_rows(sf_dir: str | None = None, k: int = 8) -> List[tuple]:
+    """Pure-Python spec of ``operators.dedup.substring_dedup``: a token
+    is removed from a doc when it is covered by a k-token window whose
+    exact gram occurs in >=2 distinct docs and the doc is not the
+    gram's keeper (min doc id); output text is surviving tokens joined
+    by single spaces."""
+    ids, texts = _read_docs(sf_dir)
+    occ: defaultdict = defaultdict(list)
+    toks = {}
+    for i, t in zip(ids, texts):
+        tk = (t or "").split()
+        toks[i] = tk
+        for j in range(len(tk) - k + 1):
+            occ[" ".join(tk[j : j + k])].append((i, j))
+    removed: defaultdict = defaultdict(set)
+    for g, ps in occ.items():
+        docs = {i for i, _ in ps}
+        if len(docs) < 2:
+            continue
+        keep = min(docs)
+        for i, j in ps:
+            if i != keep:
+                removed[i].update(range(j, j + k))
+    out = []
+    for i in ids:
+        rm = removed.get(i, set())
+        clean = " ".join(t for j, t in enumerate(toks[i]) if j not in rm)
+        out.append((int(i), clean, len(rm)))
+    return sorted(out)
+
+
+def substring_dedup_sql() -> str:
+    return values_sql(
+        substring_dedup_rows(),
+        [("id", "BIGINT"), ("clean_text", "VARCHAR"),
+         ("n_removed_tokens", "BIGINT")],
+    )

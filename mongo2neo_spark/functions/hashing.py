@@ -380,3 +380,52 @@ def rolling_fingerprint(text: str) -> int:
         if i >= FP_WINDOW - 1 and h < best:
             best = h
     return best
+
+
+# ---------------------------------------------------------------------------
+# per-window token-gram fingerprints (exact substring dedup)
+# ---------------------------------------------------------------------------
+# polynomial base for combining per-token hashes into a window
+# fingerprint; deliberately distinct from FP_BASE (char-level rolling
+# hash) so token-gram and char-window fingerprints never alias
+TOKEN_FP_BASE = 1_000_003
+
+
+def token_window_fps_batch(texts, k: int):
+    """For each text: the int64 fingerprint of EVERY k-token window
+    (index j = window starting at 0-based token j; texts with < k
+    tokens get an empty list).
+
+    fp(j) = sum_{l<k} token_hash(tok[j+l]) * TOKEN_FP_BASE^(k-1-l)
+            mod MERSENNE_P
+
+    — a pure CANDIDATE key for the substring-dedup group-by (exact
+    string verify downstream kills fp collisions), computed with k
+    shifted multiply-adds over one numpy array per document (the
+    rolling_fingerprints_batch vectorization, kept O(n*k/simd) instead
+    of a per-window Python loop).  token_hash calls are memoized per
+    batch — natural text repeats tokens constantly (same trick as
+    shingle_hash_lists)."""
+    pows = [pow(TOKEN_FP_BASE, k - 1 - j, MERSENNE_P) for j in range(k)]
+    memo: dict = {}
+    out = []
+    for t in texts:
+        toks = (t or "").split()
+        n = len(toks)
+        if n < k:
+            out.append([])
+            continue
+        hs = np.empty(n, dtype=np.int64)
+        for i, tok in enumerate(toks):
+            h = memo.get(tok)
+            if h is None:
+                h = memo[tok] = token_hash(tok)
+            hs[i] = h
+        m = n - k + 1
+        acc = np.zeros(m, dtype=np.int64)
+        # each term < 2^31 * 2^31 = 2^62 and acc < P before the add, so
+        # the running sum stays far inside int64; mod after every step
+        for j in range(k):
+            acc = (acc + hs[j : m + j] * pows[j]) % MERSENNE_P
+        out.append([int(v) for v in acc])
+    return out

@@ -381,8 +381,10 @@ def redact_pii(
     shuffle and zero Python, which is what you want for a pass that
     touches every byte of a 100-TB corpus.  Emails are replaced first
     so a phone-looking fragment inside an address can't double-count.
+    NULL text coalesces to '' (-> ('', 0, 0)), matching the sibling
+    text operators instead of propagating NULL through every output.
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_emails = F.size(
         F.regexp_extract_all(c, F.lit(PII_EMAIL_PATTERN), F.lit(0))
     ).cast("bigint")

@@ -326,3 +326,198 @@ def test_simhash_dedup_keeps_min_id_per_cluster(spark):
     df = _docs(spark, [base, base, far, base])
     kept = sorted(r.doc_id for r in dedup.simhash_dedup(df).collect())
     assert kept == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup
+# ---------------------------------------------------------------------------
+def _py_substring_windows(rows, k=8):
+    """dict replica of duplicated_windows: gram -> [(id, pos)] for grams
+    in >=2 distinct docs."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for i, t in rows:
+        tk = (t or "").split()
+        for j in range(len(tk) - k + 1):
+            occ[" ".join(tk[j : j + k])].append((i, j))
+    return {g: ps for g, ps in occ.items()
+            if len({i for i, _ in ps}) >= 2}
+
+
+def _py_substring_dedup(rows, k=8):
+    """Pure-Python replica of substring_dedup's spec."""
+    from collections import defaultdict
+
+    dup = _py_substring_windows(rows, k)
+    removed = defaultdict(set)
+    for g, ps in dup.items():
+        keep = min(i for i, _ in ps)
+        for i, j in ps:
+            if i != keep:
+                removed[i].update(range(j, j + k))
+    out = {}
+    for i, t in rows:
+        tk = (t or "").split()
+        rm = removed.get(i, set())
+        out[i] = (
+            " ".join(tok for j, tok in enumerate(tk) if j not in rm),
+            len(rm),
+        )
+    return out
+
+
+def _const_fp_fn(k):
+    """Degenerate fingerprint injection: every window of every doc gets
+    fp=0 — the candidate stage collides maximally, so any false
+    positive the exact-gram verify misses would show up instantly."""
+    from pyspark.sql import functions as F
+
+    def fn(col):
+        t = F.trim(F.coalesce(col, F.lit("")))
+        n = F.size(F.split(t, r"\s+")) - F.lit(k - 1)
+        return (
+            F.when(
+                (F.length(t) == 0) | (n < 1), F.array().cast("array<long>")
+            )
+            .otherwise(
+                F.transform(F.sequence(F.lit(1), n),
+                            lambda i: F.lit(0).cast("long"))
+            )
+        )
+
+    return fn
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    import pandas as pd
+
+    shared = ("zero one two three four five six seven eight nine "
+              "ten eleven")  # 12 tokens -> 5 aligned 8-windows
+    rows = [
+        (0, "prefix alpha " + shared + " suffix omega"),
+        (1, shared + " trailing words here"),
+        (2, "a b c d e f " + shared),
+        (3, "independent text that shares no long span with anything "
+            "else in this corpus at all truly"),
+        (4, ""),
+    ]
+    return (
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        ),
+        rows,
+    )
+
+
+def test_duplicated_windows_planted_completeness(spark, planted_docs):
+    """Every aligned k-window of a planted >=k-token shared span is
+    flagged in every doc carrying it (the suffix-array recipe's
+    guarantee), and nothing is flagged elsewhere."""
+    df, rows = planted_docs
+    got = {
+        (r.id, r.pos, r.gram)
+        for r in dedup.duplicated_windows(df, k=8).collect()
+    }
+    exp = {
+        (i, j, g)
+        for g, ps in _py_substring_windows(rows, 8).items()
+        for (i, j) in ps
+    }
+    assert got == exp
+    # the planted span contributes exactly 5 windows x 3 docs
+    assert len([1 for (i, _, _) in got if i in (0, 1, 2)]) == 15
+    assert not any(i in (3, 4) for (i, _, _) in got)
+
+
+def test_duplicated_windows_fp_collisions_cannot_false_positive(
+    spark, planted_docs
+):
+    """With EVERY window forced into one fingerprint bucket (fp=0), the
+    exact-gram verify must still produce exactly the true result —
+    proving fp is candidate pruning only (exact_dedup's hash_fn test
+    pattern)."""
+    df, _ = planted_docs
+    real = sorted(
+        tuple(r) for r in dedup.duplicated_windows(df, k=8).collect()
+    )
+    collided = sorted(
+        tuple(r)
+        for r in dedup.duplicated_windows(
+            df, k=8, fp_fn=_const_fp_fn(8)
+        ).collect()
+    )
+    assert collided == real and len(real) > 0
+
+
+def test_duplicated_window_profile_counts(spark, planted_docs):
+    df, rows = planted_docs
+    prof = {r.id: r for r in dedup.duplicated_window_profile(df, k=8).collect()}
+    assert set(prof) == {0, 1, 2, 3, 4}
+    dup = _py_substring_windows(rows, 8)
+    per_doc = {i: 0 for i, _ in rows}
+    for g, ps in dup.items():
+        for i, _ in ps:
+            per_doc[i] += 1
+    for i, t in rows:
+        tk = t.split()
+        nwin = max(len(tk) - 7, 0) if tk else 0
+        assert prof[i].n_windows == nwin
+        assert prof[i].n_dup_windows == per_doc[i]
+        exp_ppm = (1_000_000 * per_doc[i]) // nwin if nwin else 0
+        assert prof[i].dup_window_ppm == exp_ppm
+    assert prof[4].n_windows == 0 and prof[4].dup_window_ppm == 0
+
+
+def test_substring_dedup_keeper_rule_and_removal(spark, planted_docs):
+    df, rows = planted_docs
+    got = {
+        r.id: (r.clean_text, r.n_removed_tokens)
+        for r in dedup.substring_dedup(df, k=8).collect()
+    }
+    assert got == _py_substring_dedup(rows, 8)
+    # keeper (min id) keeps the span verbatim; others lose >= 12 tokens
+    assert "zero one two three four five six seven eight nine" in got[0][0]
+    assert "zero" not in got[1][0] and got[1][1] >= 12
+    assert "zero" not in got[2][0] and got[2][1] >= 12
+    assert got[3] == (rows[3][1], 0)
+    assert got[4] == ("", 0)
+
+
+def test_substring_dedup_overlapping_spans_merge(spark):
+    """Two duplicated grams overlapping in one doc: covered tokens are
+    removed once (union of spans), and a doc can be keeper for one gram
+    while losing another."""
+    import pandas as pd
+
+    s1 = "aa bb cc dd ee ff gg hh"          # 8 tokens
+    s2 = "ee ff gg hh ii jj kk ll"          # overlaps s1 by 4 tokens
+    rows = [
+        (0, s1 + " ii jj kk ll"),            # contains s1 AND s2
+        (1, "x " + s1 + " y"),
+        (2, "z " + s2 + " w"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r.id: (r.clean_text, r.n_removed_tokens)
+        for r in dedup.substring_dedup(df, k=8).collect()
+    }
+    assert got == _py_substring_dedup(rows, 8)
+    # doc 0 is keeper of both grams (min id) -> untouched
+    assert got[0] == (rows[0][1], 0)
+    assert got[1][1] >= 8 and got[2][1] >= 8
+
+
+def test_substring_dedup_max_occurrences_policy(spark):
+    """Grams hotter than max_occurrences are ignored (boilerplate
+    knob) — exact-count semantics an oracle can replicate."""
+    import pandas as pd
+
+    boiler = "this site uses cookies to improve your experience ok"
+    rows = [(i, f"doc {i} body " + boiler) for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    n_all = dedup.duplicated_windows(df, k=8).count()
+    assert n_all > 0
+    n_cap = dedup.duplicated_windows(df, k=8, max_occurrences=3).count()
+    assert n_cap == 0

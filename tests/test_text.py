@@ -225,3 +225,19 @@ def test_redact_pii_counts_and_replaces(spark):
     assert got[1].clean_text == "call [PHONE] or [PHONE]"
     assert got[2].n_emails == 0 and got[2].n_phones == 0
     assert got[2].clean_text == "nothing here"
+
+
+def test_redact_pii_null_text_coalesces(spark):
+    """NULL text -> ('', 0, 0), like the sibling text operators, not
+    NULL-through (the ADVICE low finding)."""
+    import pandas as pd
+
+    from mongo2neo_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [None, "x@y.io"]})
+    )
+    got = {r.id: r for r in textops.redact_pii(docs).collect()}
+    assert got[0].clean_text == "" and got[0].n_emails == 0 \
+        and got[0].n_phones == 0
+    assert got[1].n_emails == 1
