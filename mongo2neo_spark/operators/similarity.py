@@ -780,10 +780,28 @@ def embedding_dedup_components(
     Hyperplane-LSH blocking (same deterministic plane family as the ANN
     path) -> candidate pairs within any table's bucket -> exact JVM-side
     cosine verify at ``threshold`` -> min-id connected components.
-    Shuffle discipline mirrors the text near-dup path: the bucket
-    stream is (id, tbl, bucket) — vectors rejoin only for surviving
-    candidate pairs.  Deterministic planes mean a pure-Python oracle
-    reproduces the exact same clusters (parity by construction).
+    Deterministic planes mean a pure-Python oracle reproduces the exact
+    same clusters (parity by construction).
+
+    Shuffle discipline — VERIFY-IN-JOIN (round-5 restructure): unlike
+    the text near-dup paths (where the payload is a ~KB document and
+    the band stream must stay id-only), the embedding payload is small
+    (dim x 8 B), so the vector RIDES the xn_tables bucket explode and
+    the exact cosine filter runs inside the bucket-join stage itself.
+    Losing candidates never leave the join task: on clustered corpora
+    the candidate volume is ~100-300 pairs/vector (measured 107M pairs
+    for 400k vectors at the scaling study's parameters), and the old
+    pairs -> dropDuplicates -> two vector rejoins shape shipped
+    2 x dim x 8 B per CANDIDATE (~55 GB there) where this shape ships
+    n_tables x dim x 8 B per VECTOR (~0.9 GB) — measured 3.4x faster
+    N-leg, identical edge set (survivor dedup happens after the
+    verify, on the ~0.5% that pass).  The cosine stays on the generic
+    fold: the unrolled fixed-dim chain was re-A/B'd this round inside
+    this 100M-row join plan and regressed >2x again (giant expression
+    trees fall out of codegen; the fold stays one HigherOrderFunction
+    node).  The bucket-cap count window and the self-join share one
+    hash(tbl, bucket) partitioning (ReusedExchange), so the
+    vector-carrying stream shuffles once.
     """
     if dim is None:
         dim = infer_dim(df, vec_col)
@@ -793,7 +811,8 @@ def embedding_dedup_components(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     bx = base.select(
-        "id", F.posexplode(buckets(F.col("_v"))).alias("tbl", "bucket")
+        "id", "_v",
+        F.posexplode(buckets(F.col("_v"))).alias("tbl", "bucket"),
     )
     # K3 hot-bucket breaker, same rule as the MinHash band cap: a
     # bucket holding > bucket_cap vectors (dense region / degenerate
@@ -806,30 +825,19 @@ def embedding_dedup_components(
     bx = bx.withColumn("bs", F.count("*").over(wcap)).filter(
         F.col("bs") <= bucket_cap
     ).drop("bs")
-    a = bx.select(F.col("id").alias("a_id"), "tbl", "bucket")
-    b = bx.select(F.col("id").alias("b_id"), "tbl", "bucket")
-    pairs = (
+    a = bx.select(F.col("id").alias("a_id"), F.col("_v").alias("a_v"),
+                  "tbl", "bucket")
+    b = bx.select(F.col("id").alias("b_id"), F.col("_v").alias("b_v"),
+                  "tbl", "bucket")
+    verified = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("cos", _cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cos") >= threshold)
     )
-    with_vecs = pairs.join(
-        base.select(F.col("id").alias("a_id"), F.col("_v").alias("a_v")), "a_id"
-    ).join(
-        base.select(F.col("id").alias("b_id"), F.col("_v").alias("b_v")), "b_id"
-    )
-    # NOTE: this stays on the generic fold — A/B at 20k showed the
-    # unrolled chain REGRESSING this operator 5x (6.5s -> 35s): the
-    # ~600-node expression feeds the iterative CC's repeatedly
-    # re-optimized plans, where the fold's single HigherOrderFunction
-    # node stays cheap for the optimizer.  The unrolled form wins only
-    # in the linear probe/brute-force plans (measured 2.7x on the
-    # expression, big probe-wall wins at 4M).
-    verified = with_vecs.withColumn(
-        "cos", _cosine(F.col("a_v"), F.col("b_v"))
-    ).filter(F.col("cos") >= threshold)
-    edges = verified.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = verified.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).dropDuplicates(["src", "dst"])
     from . import cc as cc_mod
 
     return cc_mod.connected_components_auto(edges, base.select("id"))

@@ -127,6 +127,10 @@ def main() -> None:
     ] = plan_of(
         text_mod.contamination_flags(docs, docs.filter("doc_id % 97 = 0"))
     )
+    sections[
+        "substring dedup (single fingerprint UDF pass, count(*) windows "
+        "for distinct-doc gating, exact-gram verify, no pairwise join)"
+    ] = plan_of(dedup_mod.substring_dedup(docs))
     sections["pii redaction (pure narrow regexp map)"] = plan_of(
         text_mod.redact_pii(docs)
     )
