@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
-from pyspark.storagelevel import StorageLevel
 
 from ..functions import probe as probe_mod
 
@@ -296,11 +295,20 @@ def write_lsh_bucket_index(
     vec_col: str = "embedding",
     partitions: int | None = None,
 ) -> None:
-    """Persist-once build: ``repartitionByRange`` SAMPLES its child to
-    pick range boundaries, which would run the corpus hashing UDF twice
-    (measured ~2x build wall at 1M vectors).  Cache the assignment
-    stream, materialize it once, then let the sampling pass and the
-    real shuffle both read the cache."""
+    """One-pass build: HASH-repartition on bkey + sortWithinPartitions.
+
+    The round-4 writer used ``repartitionByRange`` (range-disjoint
+    files) — but range partitioning SAMPLES its child to pick
+    boundaries, forcing either a second corpus-hashing UDF pass or a
+    DISK_ONLY persist of the ~n_tables x corpus assignment stream
+    (round 4 chose the persist).  Hash partitioning needs no sampling:
+    one UDF pass, one shuffle, one sorted write — no cache at all.
+    Pruning trade, documented: each file now holds a few dozen sorted
+    bkey runs instead of one contiguous range, so a tiny probe touches
+    every file's FOOTER but still skips all non-matching ROW GROUPS
+    (bkey min/max stats on the sorted-within-file layout — the
+    `In(bkey,...)` pushdown prunes exactly as before; the sorted-file
+    test pins the layout, the indexed-entry oracles pin the answers)."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     buckets = hyperplane_buckets_udf(dim, n_planes, n_tables)
@@ -314,27 +322,18 @@ def write_lsh_bucket_index(
     ).select(
         _pack_bkey(F.col("tbl"), F.col("bucket")).alias("bkey"),
         "neighbor_id", "_cv",
-    ).persist(StorageLevel.DISK_ONLY)
-    # DISK_ONLY, not the default: the assignment stream is ~n_tables x
-    # corpus of wide vector rows — deserialized in-heap caching of that
-    # killed 5g executors at 4M vectors, while the compressed disk copy
-    # (spark.local.dir on tmpfs in the harness) is a fraction of the
-    # size and both readers stream it
-    try:
-        bx.count()
-        n_parts = (
-            partitions
-            or corpus.sparkSession.sparkContext.defaultParallelism * 2
-        )
-        bx.repartitionByRange(n_parts, "bkey").sortWithinPartitions(
-            "bkey"
-        ).write.mode("overwrite").parquet(path)
-        _write_index_meta(path, {
-            "kind": "lsh", "n_planes": n_planes, "n_tables": n_tables,
-            "dim": dim, "plane_seed": _PLANE_SEED,
-        })
-    finally:
-        bx.unpersist()
+    )
+    n_parts = (
+        partitions
+        or corpus.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    bx.repartition(n_parts, "bkey").sortWithinPartitions(
+        "bkey"
+    ).write.mode("overwrite").parquet(path)
+    _write_index_meta(path, {
+        "kind": "lsh", "n_planes": n_planes, "n_tables": n_tables,
+        "dim": dim, "plane_seed": _PLANE_SEED,
+    })
 
 
 def write_ivf_cell_index(
@@ -345,8 +344,10 @@ def write_ivf_cell_index(
     vec_col: str = "embedding",
     partitions: int | None = None,
 ) -> None:
-    """Persist-once IVF build (same double-UDF rationale as
-    :func:`write_lsh_bucket_index`)."""
+    """One-pass IVF build (same hash-partition + sort rationale as
+    :func:`write_lsh_bucket_index`; with <=n_centroids distinct cell
+    values the write parallelism is capped at n_centroids under EITHER
+    partitioner — range partitioning never splits equal keys)."""
     c_assign = _centroid_assign_udf(centroids, 1)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -354,28 +355,24 @@ def write_ivf_cell_index(
     ).select(
         F.element_at(c_assign(F.col("_cv")), 1).alias("cell"),
         "neighbor_id", "_cv",
-    ).persist(StorageLevel.DISK_ONLY)
-    try:
-        c.count()
-        n_parts = (
-            partitions
-            or corpus.sparkSession.sparkContext.defaultParallelism * 2
-        )
-        c.repartitionByRange(n_parts, "cell").sortWithinPartitions(
-            "cell"
-        ).write.mode("overwrite").parquet(path)
-        cm = np.asarray(centroids, dtype=np.float64)
-        _write_index_meta(path, {
-            "kind": "ivf", "dim": int(cm.shape[1]),
-            "n_centroids": int(cm.shape[0]),
-            "centroid_hash": _centroid_hash(cm),
-            # full matrix: n_centroids x dim doubles is a few KB; json
-            # float round-trip is exact (shortest-repr), so the loaded
-            # quantizer is bit-identical to the one that built the lists
-            "centroids": cm.tolist(),
-        })
-    finally:
-        c.unpersist()
+    )
+    n_parts = (
+        partitions
+        or corpus.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    c.repartition(n_parts, "cell").sortWithinPartitions(
+        "cell"
+    ).write.mode("overwrite").parquet(path)
+    cm = np.asarray(centroids, dtype=np.float64)
+    _write_index_meta(path, {
+        "kind": "ivf", "dim": int(cm.shape[1]),
+        "n_centroids": int(cm.shape[0]),
+        "centroid_hash": _centroid_hash(cm),
+        # full matrix: n_centroids x dim doubles is a few KB; json
+        # float round-trip is exact (shortest-repr), so the loaded
+        # quantizer is bit-identical to the one that built the lists
+        "centroids": cm.tolist(),
+    })
 
 
 def _topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
