@@ -133,12 +133,14 @@ def render_section(report: dict) -> str:
 
 Same protocol as the KG/curation studies, over {report['input_vecs']:,}
 synthetic 32-dim embeddings clustered around 64 centroids
-(fixtures.generate_embeddings_distributed, seed 7), in the round-4
+(fixtures.generate_embeddings_distributed, seed 7), in the
 build-once/probe-many service shape: lsh_build/ivf_build hash the
-corpus ONCE into persisted key-sorted index tables; lsh_probe/ivf_probe
-then run 3 independent 64-query batches each against those tables
-(key-pruned scan + broadcast join + JVM cosine — no corpus re-hash, no
-Python).  Embedding near-dup clustering runs on its own
+corpus ONCE into persisted key-sorted index tables (round 5: one-pass
+hash-partition+sort writers); lsh_probe/ivf_probe serve 3 independent
+64-query batches FUSED into one probe job per family (round 5 — one
+key-pruned scan + one broadcast join + JVM cosine; per-batch checksums
+recovered by groupBy, bit-identical to the separate-jobs values).
+Embedding near-dup clustering runs on its own
 {report['N']['dedup_vecs']:,}-vector planted-duplicate corpus
 (4-vector clusters at cosine ~0.99, {report['N']['dedup_planes']}
 planes/table = log2(n/32) so unrelated-vector bucket co-residence stays
