@@ -1454,6 +1454,211 @@ def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph analytics over the materialized KG / co-occurrence graphs
+# ---------------------------------------------------------------------------
+def _part_edges(spark: SparkSession, sf_dir: str, min_weight: int = 1):
+    """Part co-occurrence graph: parts appearing in the same order.
+    Group sizes are bounded by order line counts, so the JVM pair
+    expansion is bounded per group (operators/graph.py scale notes)."""
+    from mongo2neo_spark.operators.graph import cooccurrence_edges
+
+    return cooccurrence_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_weight=min_weight,
+    )
+
+
+def part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _part_edges(spark, sf_dir).select("s1", "s2", "weight")
+
+
+_PART_COOC_CTE = """
+d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+w AS (SELECT a.l_partkey AS s1, b.l_partkey AS s2, COUNT(*) AS weight
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+"""
+
+_PART_COOC_SQL = f"WITH {_PART_COOC_CTE} SELECT s1, s2, weight FROM w"
+
+
+def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts, degree-ordered orientation (skew-safe:
+    out-degree bounded O(sqrt(m)) so hub parts can't explode the wedge
+    join).  The oracle uses the naive id ordering — the triangle set is
+    orientation-invariant, which is exactly what this checks."""
+    from mongo2neo_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_part_edges(spark, sf_dir).select("s1", "s2"))
+
+
+_TRIANGLE_SQL = f"""
+WITH {_PART_COOC_CTE},
+e AS (SELECT s1, s2 FROM w),
+t AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+                JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node
+"""
+
+
+def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2neo_spark.operators.graph import degree_distribution
+
+    return degree_distribution(_part_edges(spark, sf_dir).select("s1", "s2"))
+
+
+_DEGREE_DIST_SQL = f"""
+WITH {_PART_COOC_CTE},
+deg AS (SELECT node, COUNT(*) AS degree
+        FROM (SELECT s1 AS node FROM w UNION ALL SELECT s2 FROM w)
+        GROUP BY node)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (bigint micro-units, floor division) on
+    the weight>=2 co-occurrence graph — float PageRank would hash-
+    mismatch on summation order alone; integer math is associative so
+    Spark and the pure-Python oracle agree bit-for-bit."""
+    from mongo2neo_spark.operators.graph import pagerank_integer
+
+    return pagerank_integer(
+        _part_edges(spark, sf_dir, min_weight=2).select("s1", "s2"), iters=10
+    )
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the weight>=2 graph via distributed peeling; the
+    k-core is unique, so the peeling-order-free Python replica is an
+    exact oracle (entry_oracle.kcore_rows)."""
+    from mongo2neo_spark.operators.graph import k_core
+
+    return k_core(_part_edges(spark, sf_dir, min_weight=2).select("s1", "s2"), k=3)
+
+
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the weight>=2 graph:
+    non-adjacent pairs with >=2 shared neighbors, jaccard in exact
+    integer ppm."""
+    from mongo2neo_spark.operators.graph import link_prediction
+
+    return link_prediction(
+        _part_edges(spark, sf_dir, min_weight=2).select("s1", "s2"),
+        min_common=2,
+    )
+
+
+_LINK_PRED_SQL = f"""
+WITH {_PART_COOC_CTE},
+e AS (SELECT s1, s2 FROM w WHERE weight >= 2),
+sym AS (SELECT s1 AS mid, s2 AS fin FROM e UNION ALL SELECT s2, s1 FROM e),
+wed AS (SELECT w1.fin AS s1, w2.fin AS s2, COUNT(*) AS n_common
+        FROM sym w1 JOIN sym w2 ON w1.mid = w2.mid AND w1.fin < w2.fin
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+na AS (SELECT wed.* FROM wed ANTI JOIN e
+       ON wed.s1 = e.s1 AND wed.s2 = e.s2),
+deg AS (SELECT node, COUNT(*) AS degree
+        FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
+        GROUP BY node)
+SELECT na.s1, na.s2, na.n_common,
+       (1000000 * na.n_common) // (da.degree + db.degree - na.n_common)
+         AS jaccard_ppm
+FROM na JOIN deg da ON na.s1 = da.node JOIN deg db ON na.s2 = db.node
+"""
+
+
+def khop_order_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS within 3 hops of every 10th order node over the KG's
+    directed edges (order->customer->nation->region, order->part);
+    frontier joins against a once-partitioned adjacency.  Oracle: the
+    same graph + seeds as a DuckDB recursive CTE."""
+    from mongo2neo_spark.operators.graph import khop_reachability
+
+    def nid(prefix, col):
+        return F.concat_ws(":", F.lit(prefix), F.col(col).cast("string"))
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.select(nid("order", "o_orderkey").alias("src"),
+                      nid("customer", "o_custkey").alias("dst"))
+        .unionByName(customer.select(
+            nid("customer", "c_custkey").alias("src"),
+            nid("nation", "c_nationkey").alias("dst")))
+        .unionByName(nation.select(
+            nid("nation", "n_nationkey").alias("src"),
+            nid("region", "n_regionkey").alias("dst")))
+        .unionByName(lineitem.select(
+            nid("order", "l_orderkey").alias("src"),
+            nid("part", "l_partkey").alias("dst")))
+    )
+    seeds = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        nid("order", "o_orderkey").alias("node")
+    )
+    return khop_reachability(edges, seeds, k=3)
+
+
+_KHOP_SQL = """
+WITH RECURSIVE g AS (
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS src,
+         'customer:' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+         'nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'order:' || CAST(l_orderkey AS VARCHAR),
+         'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+), r(node, hop) AS (
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 0
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT g.dst, r.hop + 1 FROM r JOIN g ON g.src = r.node WHERE r.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS INTEGER) AS hop FROM r GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-data assembly)
+# ---------------------------------------------------------------------------
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-fit-decreasing packing of documents into
+    256-token training sequences across 16 hash buckets; only
+    (doc_id, n_tokens) metadata enters Python.  Oracle: pure-Python
+    replica rendered as VALUES (entry_oracle.pack_rows)."""
+    from mongo2neo_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, n_buckets=16
+    )
+
+
+def packing_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket fill efficiency of the packed assignment in integer
+    ppm; the oracle runs the SAME aggregation in SQL over the replica's
+    VALUES-rendered packing."""
+    from mongo2neo_spark.operators.packing import (
+        pack_sequences,
+        packing_profile,
+    )
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, n_buckets=16
+    )
+    return packing_profile(packed, budget=256)
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1514,6 +1719,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_documents": pii_redaction_documents,
         "substring_dup_profile_documents": substring_dup_profile_documents,
         "substring_dedup_documents": substring_dedup_documents,
+        "part_cooccurrence_edges": part_cooccurrence_edges,
+        "triangle_counts_parts": triangle_counts_parts,
+        "part_degree_distribution": part_degree_distribution,
+        "pagerank_parts": pagerank_parts,
+        "kcore_parts": kcore_parts,
+        "link_prediction_parts": link_prediction_parts,
+        "khop_order_reachability": khop_order_reachability,
+        "pack_sequences_documents": pack_sequences_documents,
+        "packing_profile_documents": packing_profile_documents,
     }
 
 
@@ -1579,6 +1793,15 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction_documents": _PII_SQL,
         "substring_dup_profile_documents": _SUBSTRING_PROFILE_SQL,
         "substring_dedup_documents": _eo().substring_dedup_sql(),
+        "part_cooccurrence_edges": _PART_COOC_SQL,
+        "triangle_counts_parts": _TRIANGLE_SQL,
+        "part_degree_distribution": _DEGREE_DIST_SQL,
+        "pagerank_parts": _eo().pagerank_sql(),
+        "kcore_parts": _eo().kcore_sql(),
+        "link_prediction_parts": _LINK_PRED_SQL,
+        "khop_order_reachability": _KHOP_SQL,
+        "pack_sequences_documents": _eo().pack_sql(),
+        "packing_profile_documents": _eo().pack_profile_sql(),
     }
 
 

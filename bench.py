@@ -117,9 +117,13 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     # 1. the KG pipeline end-to-end (fresh out dir: no resume short-circuit).
-    # Two runs, min taken: this host's throughput drifts run-to-run by
-    # ~±20% (shared VM), and min-of-k is the standard way to measure the
-    # engine rather than the neighbors.
+    # THREE runs, min taken, all walls emitted: this shared VM is
+    # measurably BIMODAL under load (round-5 A/B on identical code:
+    # walls [39.4, 12.5, 34.9, 12.2, 10.9] in one JVM — runs flip
+    # between full speed and ~1/3 speed with ~even odds).  min-of-2
+    # records a 3x artifact ~25% of the time; min-of-3 cuts that to
+    # ~12% and the emitted kg_walls list lets a reader see the
+    # bimodality instead of inferring a regression from one number.
     def kg_once(i):
         from mongo2neo_spark.plans.pipeline import PipelineConfig, run_pipeline
 
@@ -131,7 +135,7 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     kg_walls = []
-    for i in range(2):
+    for i in range(3):
         t0 = time.monotonic()
         kg_once(i)
         kg_walls.append(round(time.monotonic() - t0, 3))
@@ -190,6 +194,7 @@ def main() -> None:
                 "sf": _sf_name(),
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / timings["kg_pipeline"], 1),
+                "kg_walls": kg_walls,
                 "r2_comparable_wall_sec": r2_comparable,
                 "host_calibration": {
                     "workload_sec": host_cal,

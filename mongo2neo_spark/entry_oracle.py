@@ -717,3 +717,158 @@ def substring_dedup_sql() -> str:
         [("id", "BIGINT"), ("clean_text", "VARCHAR"),
          ("n_removed_tokens", "BIGINT")],
     )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics replicas (part co-occurrence graph over lineitem)
+# ---------------------------------------------------------------------------
+def _read_lineitem_pairs(sf_dir: str | None = None):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir or ORACLE_SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    )
+    return t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist()
+
+
+def part_cooccurrence(sf_dir: str | None = None, min_weight: int = 1):
+    """{(s1, s2): weight} with s1 < s2 — pure-Python spec of
+    ``operators.graph.cooccurrence_edges`` on (l_orderkey, l_partkey)."""
+    orders, parts = _read_lineitem_pairs(sf_dir)
+    groups: defaultdict = defaultdict(set)
+    for o, p in zip(orders, parts):
+        groups[o].add(p)
+    w: defaultdict = defaultdict(int)
+    for items in groups.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                w[(s[i], s[j])] += 1
+    return {k: v for k, v in w.items() if v >= min_weight}
+
+
+def pagerank_rows(
+    sf_dir: str | None = None,
+    min_weight: int = 2,
+    iters: int = 10,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+) -> List[tuple]:
+    """Integer-exact PageRank replica of ``operators.graph.
+    pagerank_integer`` — bigint micro-unit ranks with floor division,
+    so summation order cannot perturb the result on either side."""
+    edges = part_cooccurrence(sf_dir, min_weight)
+    adj: defaultdict = defaultdict(list)
+    for (a, b) in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    rank = {u: scale // n for u in nodes}
+    for _ in range(iters):
+        incoming = {u: 0 for u in nodes}
+        for u in nodes:
+            c = (damping_num * rank[u]) // (damping_den * len(adj[u]))
+            for v in adj[u]:
+                incoming[v] += c
+        rank = {u: base + incoming[u] for u in nodes}
+    return [(int(u), int(rank[u])) for u in nodes]
+
+
+def pagerank_sql() -> str:
+    return values_sql(
+        pagerank_rows(), [("node", "BIGINT"), ("rank", "BIGINT")]
+    )
+
+
+def kcore_rows(
+    sf_dir: str | None = None, k: int = 3, min_weight: int = 2
+) -> List[tuple]:
+    """Peeling replica of ``operators.graph.k_core`` (the k-core is
+    unique, so any peeling order yields the same node set/degrees)."""
+    edges = part_cooccurrence(sf_dir, min_weight)
+    adj: defaultdict = defaultdict(set)
+    for (a, b) in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for u in list(adj):
+            if len(adj[u]) < k:
+                for v in adj[u]:
+                    adj[v].discard(u)
+                del adj[u]
+                changed = True
+    return sorted((int(u), len(vs)) for u, vs in adj.items())
+
+
+def kcore_sql(k: int = 3) -> str:
+    return values_sql(
+        kcore_rows(k=k), [("node", "BIGINT"), ("degree", "BIGINT")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence-packing replica
+# ---------------------------------------------------------------------------
+def _oracle_token_count(text) -> int:
+    import re
+
+    return len(re.findall(r"\S+", text or ""))
+
+
+def pack_rows(
+    sf_dir: str | None = None, budget: int = 256, n_buckets: int = 16
+) -> List[tuple]:
+    """First-fit-decreasing replica of ``operators.packing.
+    pack_sequences``: per (doc_id mod n_buckets) bucket, docs sorted by
+    (n_tokens desc, doc_id asc), first sequence with room wins."""
+    ids, texts = _read_docs(sf_dir)
+    buckets: defaultdict = defaultdict(list)
+    for i, t in zip(ids, texts):
+        buckets[i % n_buckets].append((int(i), _oracle_token_count(t)))
+    out = []
+    for b in sorted(buckets):
+        rows = sorted(buckets[b], key=lambda r: (-r[1], r[0]))
+        room: List[int] = []
+        for doc_id, n_tok in rows:
+            if n_tok > budget:
+                room.append(0)
+                out.append((doc_id, b, len(room) - 1, n_tok, True))
+                continue
+            for s in range(len(room)):
+                if room[s] >= n_tok:
+                    room[s] -= n_tok
+                    out.append((doc_id, b, s, n_tok, False))
+                    break
+            else:
+                room.append(budget - n_tok)
+                out.append((doc_id, b, len(room) - 1, n_tok, False))
+    return sorted(out)
+
+
+def pack_sql(budget: int = 256, n_buckets: int = 16) -> str:
+    return values_sql(
+        pack_rows(budget=budget, n_buckets=n_buckets),
+        [("doc_id", "BIGINT"), ("bucket", "BIGINT"), ("seq_id", "BIGINT"),
+         ("n_tokens", "INTEGER"), ("overflow", "BOOLEAN")],
+    )
+
+
+def pack_profile_sql(budget: int = 256, n_buckets: int = 16) -> str:
+    """Packing-profile mirror: the integer-ppm aggregation runs IN SQL
+    over the VALUES-rendered packed assignment."""
+    packed = pack_sql(budget=budget, n_buckets=n_buckets)
+    return f"""
+WITH packed AS ({packed})
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT seq_id) AS n_seqs,
+       (1000000 * SUM(CAST(n_tokens AS BIGINT)))
+         // (COUNT(DISTINCT seq_id) * {int(budget)}) AS fill_ppm
+FROM packed WHERE NOT overflow GROUP BY bucket
+"""

@@ -1,0 +1,395 @@
+"""Graph analytics over the materialized KG / co-occurrence graphs.
+
+The kg_construct brief's output is a node/edge graph; these operators are
+the queries a user runs NEXT on that graph: co-occurrence edge
+construction, triangle counting, degree profiles, bounded k-hop
+reachability, PageRank, k-core decomposition, and common-neighbor link
+prediction.  Everything is DataFrame-native (zero Python UDFs) and every
+iterative loop cuts lineage via checkpoint + persist (same discipline as
+``operators/cc.py``).
+
+Scale design (the 100 TB story):
+
+* **Co-occurrence edges** are built by per-group ``collect_set`` +
+  JVM higher-order pair expansion — fan-out is C(group_size, 2) per
+  group, so bounded group sizes (order line counts, turns per window)
+  give bounded expansion with zero Python.  Unbounded groups take the
+  same K3 treatment as every blocking path: an explicit cap with a
+  drop-audit companion, never a silent quadratic blowup.
+* **Triangle counting** uses the degree-ordered orientation (each
+  undirected edge directed from its lower-(degree, id) endpoint), the
+  standard trick that bounds every node's out-degree by O(sqrt(m)) so
+  the wedge join never explodes on hub nodes — a plain id-ordered
+  triangle join puts a celebrity node's full neighborhood on one side
+  of the self-join.  The triangle SET is orientation-invariant, so the
+  oracle can use the naive id ordering while the engine uses the
+  skew-safe one.
+* **PageRank / k-core / k-hop** are join-per-iteration algorithms: the
+  adjacency list is hash-partitioned once and persisted, each iteration
+  reuses that partitioning (one shuffle for the agg, none for the
+  join side), and the iterate is checkpointed every few rounds so the
+  plan doesn't grow linearly with iteration count.
+* **Exactness**: PageRank and jaccard scores are computed in INTEGER
+  micro-units (bigint ppb / ppm with floor division) so the Spark and
+  pure-Python oracle sides agree bit-for-bit regardless of float
+  summation order — the same fragility-class fix ``corpus_stats_by_lang``
+  got in round 4 (integer math is associative; float math is not).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .cc import _materialize
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence edge construction
+# ---------------------------------------------------------------------------
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_weight: int = 1,
+    max_group_items: int | None = None,
+) -> DataFrame:
+    """Undirected weighted co-occurrence edges: items appearing in the
+    same group.  Returns (s1, s2, weight) with s1 < s2, weight = number
+    of groups containing both.
+
+    Pair expansion happens in JVM higher-order functions over the
+    per-group sorted item set, so cost is C(|group|, 2) per group with
+    no Python anywhere.  ``max_group_items`` is the K3 cap for
+    unbounded group-size distributions — oversized groups are DROPPED
+    from edge emission (use :func:`cooccurrence_dropped_groups` to
+    audit what the cap removed).
+    """
+    items = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("_items")
+    )
+    if max_group_items is not None:
+        items = items.filter(F.size("_items") <= max_group_items)
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_items, (x, i) -> "
+                "transform(slice(_items, i + 2, size(_items)), "
+                "y -> struct(x AS s1, y AS s2))))"
+            )
+        ).alias("p")
+    ).select("p.s1", "p.s2")
+    w = pairs.groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("weight"))
+    if min_weight > 1:
+        w = w.filter(F.col("weight") >= min_weight)
+    return w
+
+
+def cooccurrence_dropped_groups(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_items: int,
+) -> DataFrame:
+    """Audit companion for the cap: (group, n_items) rows the cap drops."""
+    return (
+        df.groupBy(group_col)
+        .agg(F.countDistinct(item_col).alias("n_items"))
+        .filter(F.col("n_items") > max_group_items)
+    )
+
+
+# ---------------------------------------------------------------------------
+# degrees & triangles
+# ---------------------------------------------------------------------------
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(node, degree) from canonical undirected (s1 < s2) edges."""
+    return (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes) histogram over canonical undirected edges."""
+    return (
+        node_degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over canonical undirected (s1 < s2) edges.
+
+    Degree-ordered orientation: every undirected edge is directed from
+    its lower-(degree, node) endpoint to the higher one; under that
+    total order the oriented graph is a DAG in which each triangle
+    {x, y, z} appears exactly once as the path x→y→z closed by x→z, and
+    every node's out-degree is O(sqrt(m)) — the hub-node wedge
+    explosion a naive id-ordered join suffers cannot happen.  The
+    triangle SET (and therefore each node's count) is identical under
+    any orientation, which is what the id-ordered SQL oracle checks.
+    """
+    deg = node_degrees(edges)
+    d1 = deg.select(
+        F.col("node").alias("s1"), F.col("degree").alias("_d1")
+    )
+    d2 = deg.select(
+        F.col("node").alias("s2"), F.col("degree").alias("_d2")
+    )
+    # orient each edge by (degree, node): lo -> hi
+    lower_first = (F.col("_d1") < F.col("_d2")) | (
+        (F.col("_d1") == F.col("_d2")) & (F.col("s1") < F.col("s2"))
+    )
+    oriented = (
+        edges.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            F.when(lower_first, F.col("s1")).otherwise(F.col("s2")).alias("lo"),
+            F.when(lower_first, F.col("s2")).otherwise(F.col("s1")).alias("hi"),
+        )
+    )
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded k-hop reachability
+# ---------------------------------------------------------------------------
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Directed min-hop reachability within k hops of a seed set.
+
+    Returns (node, hop) with hop = the MINIMUM number of edges from any
+    seed (seeds themselves at hop 0).  Classic frontier BFS as k
+    DataFrame joins: each round joins only the NEW frontier against the
+    adjacency (pre-partitioned on src and persisted once — the join
+    side never reshuffles), anti-joins the visited set, and
+    checkpoints.  k is small and fixed, so the plan is k joins deep at
+    most; visited stays partitioned by node.
+    """
+    adj = _materialize(
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .distinct()
+        .repartition("_src")
+    )
+    visited = _materialize(
+        seeds.select(F.col(node_col).alias("node")).distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+    )
+    frontier = visited
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["_src"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(i).cast("int"))
+        )
+        nxt = _materialize(nxt)
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        old_visited, old_frontier = visited, frontier
+        visited = _materialize(visited.unionByName(nxt))
+        frontier = nxt
+        old_visited.unpersist()
+        if old_frontier is not old_visited:
+            old_frontier.unpersist()
+    if frontier is not visited:
+        frontier.unpersist()
+    adj.unpersist()
+    # the final iterate is checkpoint-backed (lineage-free), so it stays
+    # valid after the adjacency handle is released — same return shape
+    # as connected_components
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank
+# ---------------------------------------------------------------------------
+PAGERANK_SCALE = 10**12  # bigint rank units; headroom: 17 * 10^12 << 2^63
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 10,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph in exact integer arithmetic.
+
+    Ranks live in bigint units of 1/PAGERANK_SCALE; the damped
+    contribution of u to each neighbor is
+    ``(damping_num * r_u) div (damping_den * deg_u)`` (floor division)
+    and the teleport term is ``((den-num) * SCALE) div (den * n)`` —
+    every operation is integer, so sums are order-independent and the
+    pure-Python oracle matches bit-for-bit (float PageRank would hash-
+    mismatch on summation order alone).  Undirected = symmetric
+    adjacency, so there are no dangling nodes to special-case.
+
+    Scale: adjacency is hash-partitioned on src once and persisted;
+    each of the ``iters`` rounds is one partition-local join plus one
+    aggregation shuffle on dst; the iterate is checkpointed so the plan
+    stays O(1) deep.  Default damping 17/20 = 0.85.
+    """
+    sym = edges.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionAll(
+        edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    adj = _materialize(sym.repartition("src"))
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    base = ((damping_den - damping_num) * PAGERANK_SCALE) // (
+        damping_den * n
+    )
+    ranks = _materialize(
+        deg.select(
+            F.col("src").alias("node"),
+            "deg",
+            F.lit(PAGERANK_SCALE // n).cast("bigint").alias("rank"),
+        )
+    )
+    for _ in range(iters):
+        contrib = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr(
+                    f"({damping_num}L * rank) div ({damping_den}L * deg)"
+                ).alias("c"),
+            )
+        )
+        new_ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("_in"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base).cast("bigint") + F.col("_in")).alias("rank"),
+            )
+        )
+        old = ranks
+        ranks = _materialize(
+            new_ranks.join(
+                deg.select(F.col("src").alias("node"), "deg"), "node"
+            )
+        )
+        old.unpersist()
+    adj.unpersist()
+    # checkpoint-backed final iterate; safe after adj release
+    return ranks.select("node", "rank")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k)
+# ---------------------------------------------------------------------------
+def k_core(edges: DataFrame, k: int) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph with all degrees >= k),
+    with each node's degree WITHIN the core.  Iterative peeling: drop
+    nodes of degree < k, recompute degrees on the induced subgraph,
+    repeat until stable — the k-core is unique, so peeling order
+    doesn't matter and the pure-Python oracle is exact.
+
+    Each round is two semi-joins (edge endpoints against the surviving
+    node set) + one degree aggregation, checkpointed; rounds are
+    bounded by the graph's degeneracy ordering depth (logarithmic-ish
+    in practice, never more than n).
+    """
+    cur = _materialize(edges.select("s1", "s2"))
+    while True:
+        deg = node_degrees(cur)
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        n_before = cur.count()
+        nxt = (
+            cur.join(
+                keep.select(F.col("node").alias("s1")), "s1", "left_semi"
+            ).join(
+                keep.select(F.col("node").alias("s2")), "s2", "left_semi"
+            )
+        )
+        nxt = _materialize(nxt.select("s1", "s2"))
+        n_after = nxt.count()
+        old = cur
+        cur = nxt
+        old.unpersist()
+        if n_after == n_before:
+            break
+    # final induced subgraph is checkpoint-backed; degrees computed on it
+    # are exactly the in-core degrees (all >= k once stable)
+    return node_degrees(cur).filter(F.col("degree") >= k)
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor / jaccard link prediction
+# ---------------------------------------------------------------------------
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+) -> DataFrame:
+    """Non-adjacent node pairs ranked by shared neighbors.
+
+    Returns (s1, s2, n_common, jaccard_ppm) for pairs with >= min_common
+    common neighbors and NO existing edge — the classic common-neighbor
+    link-prediction candidate set over a co-occurrence graph.
+    jaccard_ppm = floor(1e6 * |N(a) ∩ N(b)| / |N(a) ∪ N(b)|) in exact
+    integer arithmetic.
+
+    The wedge join (two edges sharing a midpoint) is the only expansion
+    and is the same O(sum deg^2) shape as triangle counting; feed it a
+    weight-thresholded co-occurrence graph (min_weight >= 2) so hub
+    midpoints are already pruned, and the anti-join against the edge
+    set removes adjacent pairs before any scoring work.
+    """
+    sym = edges.select(
+        F.col("s1").alias("mid"), F.col("s2").alias("end")
+    ).unionAll(
+        edges.select(F.col("s2").alias("mid"), F.col("s1").alias("end"))
+    )
+    w1 = sym.select("mid", F.col("end").alias("a"))
+    w2 = sym.select("mid", F.col("end").alias("b"))
+    wedges = (
+        w1.join(w2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("s1"), F.col("b").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    non_adjacent = wedges.join(
+        edges.select("s1", "s2"), ["s1", "s2"], "left_anti"
+    )
+    deg = node_degrees(edges)
+    return (
+        non_adjacent.join(
+            deg.select(F.col("node").alias("s1"), F.col("degree").alias("_da")),
+            "s1",
+        )
+        .join(
+            deg.select(F.col("node").alias("s2"), F.col("degree").alias("_db")),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.expr(
+                "(1000000L * n_common) div (_da + _db - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )

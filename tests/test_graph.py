@@ -1,0 +1,261 @@
+"""Graph analytics: co-occurrence edges, triangles, PageRank, k-core,
+k-hop reachability, link prediction — each pinned against a brute-force
+or pure-Python specification on small graphs and (where cheap) the real
+sf0.001 tables."""
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "s1 bigint, s2 bigint"
+    )
+
+
+# a small deliberately-lumpy graph: a 5-clique, a 4-cycle with a chord,
+# a path, and an isolated edge
+CLIQUE5 = list(itertools.combinations(range(5), 2))
+EXTRA = [(10, 11), (11, 12), (12, 13), (10, 12),  # 4-path + chord
+         (20, 21), (21, 22),                       # path
+         (30, 31)]                                 # isolated edge
+SMALL = CLIQUE5 + EXTRA
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    nodes = sorted(adj)
+    for x, y, z in itertools.combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+class TestCooccurrence:
+    def test_pairs_and_weights(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+             (1, "a")],  # duplicate item in group 1 must not double-count
+            "g int, item string",
+        )
+        from mongo2neo_spark.operators.graph import cooccurrence_edges
+
+        rows = {
+            (r.s1, r.s2): r.weight
+            for r in cooccurrence_edges(df, "g", "item").collect()
+        }
+        assert rows == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_group_cap_drops_and_audits(self, spark):
+        df = spark.createDataFrame(
+            [(1, x) for x in "abcde"] + [(2, "a"), (2, "b")],
+            "g int, item string",
+        )
+        from mongo2neo_spark.operators.graph import (
+            cooccurrence_dropped_groups,
+            cooccurrence_edges,
+        )
+
+        rows = cooccurrence_edges(
+            df, "g", "item", max_group_items=3
+        ).collect()
+        assert {(r.s1, r.s2) for r in rows} == {("a", "b")}
+        dropped = cooccurrence_dropped_groups(df, "g", "item", 3).collect()
+        assert [(r.g, r.n_items) for r in dropped] == [(1, 5)]
+
+
+class TestTriangles:
+    def test_matches_brute_force(self, spark):
+        from mongo2neo_spark.operators.graph import triangle_counts
+
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_counts(_edges_df(spark, SMALL)).collect()
+        }
+        assert got == _brute_triangles(SMALL)
+
+    def test_clique_counts(self, spark):
+        from mongo2neo_spark.operators.graph import triangle_counts
+
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_counts(_edges_df(spark, CLIQUE5)).collect()
+        }
+        # each node of K5 is in C(4,2) = 6 triangles
+        assert got == {v: 6 for v in range(5)}
+
+    def test_degree_distribution(self, spark):
+        from mongo2neo_spark.operators.graph import degree_distribution
+
+        got = {
+            r.degree: r.n_nodes
+            for r in degree_distribution(_edges_df(spark, EXTRA)).collect()
+        }
+        # EXTRA degrees: 10:2 11:2 12:3 13:1 20:1 21:2 22:1 30:1 31:1
+        assert got == {1: 5, 2: 3, 3: 1}
+
+
+class TestPagerank:
+    def test_replica_equality_sf0001(self, spark):
+        from mongo2neo_spark import entry_oracle
+        from mongo2neo_spark.operators.graph import (
+            cooccurrence_edges,
+            pagerank_integer,
+        )
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        edges = cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", min_weight=2
+        ).select("s1", "s2")
+        got = sorted(
+            (r.node, r["rank"]) for r in pagerank_integer(edges, iters=10).collect()
+        )
+        assert got == entry_oracle.pagerank_rows(SF, min_weight=2, iters=10)
+
+    def test_ranks_sum_near_scale(self, spark):
+        """Floor division only loses mass, so the total must stay within
+        n_nodes * iters units below PAGERANK_SCALE."""
+        from mongo2neo_spark.operators.graph import (
+            PAGERANK_SCALE,
+            pagerank_integer,
+        )
+
+        rows = pagerank_integer(_edges_df(spark, SMALL), iters=5).collect()
+        total = sum(r["rank"] for r in rows)
+        assert total <= PAGERANK_SCALE
+        assert total > PAGERANK_SCALE - len(rows) * 5 * 40
+
+
+class TestKCore:
+    def test_peels_to_known_core(self, spark):
+        from mongo2neo_spark.operators.graph import k_core
+
+        got = {
+            r.node: r.degree
+            for r in k_core(_edges_df(spark, SMALL), k=3).collect()
+        }
+        # only the 5-clique survives k=3 peeling (chordal 4-cycle's max
+        # core is 2); in-core degree is 4 for every clique member
+        assert got == {v: 4 for v in range(5)}
+
+    def test_empty_core(self, spark):
+        from mongo2neo_spark.operators.graph import k_core
+
+        assert k_core(_edges_df(spark, EXTRA), k=3).count() == 0
+
+    def test_replica_equality_sf0001(self, spark):
+        from mongo2neo_spark import entry_oracle
+        from mongo2neo_spark.operators.graph import (
+            cooccurrence_edges,
+            k_core,
+        )
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        edges = cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", min_weight=2
+        ).select("s1", "s2")
+        got = sorted((r.node, r.degree) for r in k_core(edges, k=3).collect())
+        assert got == entry_oracle.kcore_rows(SF, k=3, min_weight=2)
+
+
+class TestKhop:
+    def test_min_hop_bfs(self, spark):
+        from mongo2neo_spark.operators.graph import khop_reachability
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),  # short-cut
+             ("d", "a"),  # cycle back
+             ("x", "y")],  # unreachable island
+            "src string, dst string",
+        )
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.hop for r in khop_reachability(edges, seeds, k=3).collect()}
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    def test_frontier_exhaustion_stops_early(self, spark):
+        from mongo2neo_spark.operators.graph import khop_reachability
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.hop for r in khop_reachability(edges, seeds, k=10).collect()}
+        assert got == {"a": 0, "b": 1}
+
+
+class TestLinkPrediction:
+    def test_common_neighbors_and_jaccard(self, spark):
+        from mongo2neo_spark.operators.graph import link_prediction
+
+        # star: hub h adjacent to a,b,c; plus edge a-b.
+        # non-adjacent pairs with >=2 common neighbors: none (a,c and b,c
+        # share only h) -> use two hubs
+        pairs = [(1, 10), (1, 11), (2, 10), (2, 11), (10, 11)]
+        # nodes 1,2 share neighbors {10,11}, not adjacent
+        got = link_prediction(_edges_df(spark, pairs), min_common=2).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.s1, r.s2, r.n_common) == (1, 2, 2)
+        # deg(1)=2, deg(2)=2, union = 2+2-2 = 2 -> jaccard 1.0 exactly
+        assert r.jaccard_ppm == 1000000
+
+    def test_adjacent_pairs_excluded(self, spark):
+        from mongo2neo_spark.operators.graph import link_prediction
+
+        got = link_prediction(_edges_df(spark, CLIQUE5), min_common=2)
+        assert got.count() == 0  # clique: every candidate pair is adjacent
+
+
+class TestPacking:
+    def test_replica_equality_and_partition_invariance(self, spark):
+        from mongo2neo_spark import entry_oracle
+        from mongo2neo_spark.operators.packing import pack_sequences
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        want = entry_oracle.pack_rows(SF, budget=256, n_buckets=16)
+        for parts in (1, 7):
+            got = sorted(
+                tuple(r) for r in pack_sequences(
+                    docs.repartition(parts), budget=256, n_buckets=16
+                ).collect()
+            )
+            assert got == want
+
+    def test_budget_respected_and_all_docs_packed(self, spark):
+        from mongo2neo_spark.operators.packing import pack_sequences
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        packed = pack_sequences(docs, budget=64, n_buckets=4)
+        rows = packed.collect()
+        assert len(rows) == docs.count()
+        per_seq = {}
+        for r in rows:
+            if not r.overflow:
+                key = (r.bucket, r.seq_id)
+                per_seq[key] = per_seq.get(key, 0) + r.n_tokens
+        assert per_seq and max(per_seq.values()) <= 64
+        assert all(r.n_tokens > 64 for r in rows if r.overflow)
+
+    def test_profile_fill(self, spark):
+        from mongo2neo_spark.operators.packing import (
+            pack_sequences,
+            packing_profile,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 10) for i in range(8)], "doc_id bigint, text string"
+        )
+        prof = packing_profile(
+            pack_sequences(docs, budget=25, n_buckets=2), budget=25
+        ).collect()
+        # per bucket: 4 docs x 10 tokens -> seqs of [10+10], [10+10]:
+        # 2 seqs, 40 tokens, fill = 40/50 = 800000 ppm
+        assert {(r.bucket, r.n_docs, r.n_seqs, r.fill_ppm) for r in prof} == {
+            (0, 4, 2, 800000), (1, 4, 2, 800000),
+        }
