@@ -173,16 +173,26 @@ def main() -> None:
         "ann_topk_cosine",
         "token_counts_documents",
         "quality_scores_documents",
+        # round-5 additions — NOT part of r2_comparable (see R2_SET)
+        "triangle_counts_parts",
+        "pagerank_parts",
     ]
     qs = entrymod.queries()
     for name in heads:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
-    # the round-2 suite did not include curation_pipeline; this subtotal
-    # keeps cross-round wall comparisons apples-to-apples
+    # FROZEN round-2 query set: the cross-round-comparable subtotal must
+    # never absorb queries added in later rounds (curation_pipeline and
+    # the round-5 graph heads are timed but excluded)
+    R2_SET = {
+        "kg_pipeline", "graph_edges", "agg_pricing_summary",
+        "join_revenue_by_nation", "window_top_orders_per_customer",
+        "minhash_doc_clusters", "ann_topk_cosine",
+        "token_counts_documents", "quality_scores_documents",
+    }
     r2_comparable = round(
-        sum(v for k, v in timings.items() if k != "curation_pipeline"), 3
+        sum(v for k, v in timings.items() if k in R2_SET), 3
     )
     print(
         json.dumps(

@@ -130,8 +130,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     explosion a naive id-ordered join suffers cannot happen.  The
     triangle SET (and therefore each node's count) is identical under
     any orientation, which is what the id-ordered SQL oracle checks.
+
+    The oriented edge set feeds THREE join legs (and degrees feed two
+    union branches), so both the canonical edges and the oriented set
+    are checkpointed once — without that, an unpersisted upstream
+    (e.g. a co-occurrence build) would be recomputed ~6x, which at
+    scale costs more than the triangle join itself.  The returned
+    per-node counts are checkpoint-backed (same convention as
+    connected_components); intermediates are released before return.
     """
-    deg = node_degrees(edges)
+    und = _materialize(edges.select("s1", "s2"))
+    deg = node_degrees(und)
     d1 = deg.select(
         F.col("node").alias("s1"), F.col("degree").alias("_d1")
     )
@@ -142,8 +151,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("_d1") < F.col("_d2")) | (
         (F.col("_d1") == F.col("_d2")) & (F.col("s1") < F.col("s2"))
     )
-    oriented = (
-        edges.join(d1, "s1")
+    oriented = _materialize(
+        und.join(d1, "s1")
         .join(d2, "s2")
         .select(
             F.when(lower_first, F.col("s1")).otherwise(F.col("s2")).alias("lo"),
@@ -154,13 +163,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     e3 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    return (
+    out = _materialize(
         tri.select(
             F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    und.unpersist()
+    oriented.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -356,11 +368,17 @@ def link_prediction(
     weight-thresholded co-occurrence graph (min_weight >= 2) so hub
     midpoints are already pruned, and the anti-join against the edge
     set removes adjacent pairs before any scoring work.
+
+    The edge set feeds FIVE legs (two sym branches, the anti-join, two
+    degree union branches), so the canonical edges are checkpointed
+    once and released before return — same rationale as
+    :func:`triangle_counts`.  The result is checkpoint-backed.
     """
-    sym = edges.select(
+    und = _materialize(edges.select("s1", "s2"))
+    sym = und.select(
         F.col("s1").alias("mid"), F.col("s2").alias("end")
     ).unionAll(
-        edges.select(F.col("s2").alias("mid"), F.col("s1").alias("end"))
+        und.select(F.col("s2").alias("mid"), F.col("s1").alias("end"))
     )
     w1 = sym.select("mid", F.col("end").alias("a"))
     w2 = sym.select("mid", F.col("end").alias("b"))
@@ -371,11 +389,9 @@ def link_prediction(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
-    non_adjacent = wedges.join(
-        edges.select("s1", "s2"), ["s1", "s2"], "left_anti"
-    )
-    deg = node_degrees(edges)
-    return (
+    non_adjacent = wedges.join(und, ["s1", "s2"], "left_anti")
+    deg = node_degrees(und)
+    out = _materialize(
         non_adjacent.join(
             deg.select(F.col("node").alias("s1"), F.col("degree").alias("_da")),
             "s1",
@@ -393,3 +409,5 @@ def link_prediction(
             ).alias("jaccard_ppm"),
         )
     )
+    und.unpersist()
+    return out

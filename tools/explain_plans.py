@@ -134,6 +134,32 @@ def main() -> None:
     sections["pii redaction (pure narrow regexp map)"] = plan_of(
         text_mod.redact_pii(docs)
     )
+    from mongo2neo_spark.operators import graph as graph_mod
+    from mongo2neo_spark.operators import packing as packing_mod
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part_edges = graph_mod.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey"
+    ).select("s1", "s2")
+    sections[
+        "co-occurrence edges (collect_set partial agg + JVM HOF pair "
+        "expansion — no Python, fan-out bounded per group)"
+    ] = plan_of(
+        graph_mod.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    )
+    sections[
+        "triangle counts (degree-ordered orientation, wedge join + "
+        "closure join — hub-safe self-join)"
+    ] = plan_of(graph_mod.triangle_counts(part_edges))
+    sections[
+        "link prediction (wedge join, anti-join vs edges, integer ppm)"
+    ] = plan_of(graph_mod.link_prediction(part_edges, min_common=2))
+    sections[
+        "sequence packing (metadata-only Arrow group: doc_id/n_tokens/"
+        "bucket — text never enters Python)"
+    ] = plan_of(
+        packing_mod.pack_sequences(docs, budget=256, n_buckets=4)
+    )
     # indexed ANN probe: the bkey IN filter must reach the parquet scan
     import tempfile
 
@@ -165,7 +191,9 @@ def main() -> None:
             "WholeStageCodegen": "codegen id" in plan or "WholeStageCodegen" in plan,
             "BroadcastHashJoin": "BroadcastHashJoin" in plan
             or "BroadcastNestedLoopJoin" in plan,
-            "ArrowEvalPython": "ArrowEvalPython" in plan or "EvalPython" in plan,
+            "ArrowEvalPython": "ArrowEvalPython" in plan
+            or "EvalPython" in plan
+            or "FlatMapGroupsInPandas" in plan,
             "CartesianProduct": "CartesianProduct" in plan,
             "PushedFilters/ReadSchema": "ReadSchema" in plan,
         }
