@@ -62,9 +62,29 @@ def cooccurrence_edges(
     unbounded group-size distributions — oversized groups are DROPPED
     from edge emission (use :func:`cooccurrence_dropped_groups` to
     audit what the cap removed).
+
+    Physical shape (event-log-measured on a 10M-row / 45M-pair build):
+
+    * The group agg runs on an EXPLICIT fixed-width exchange
+      (``repartition(n_shuffle, group)``) instead of the groupBy's own
+      AQE-sized one.  AQE sizes reduce stages by their shuffle INPUT
+      bytes, but this stage's real work is the C(|group|, 2) pair
+      expansion fused after the agg — input-proportional sizing
+      starved it to 4-5 partitions regardless of cluster size.
+    * Pair counting repartitions RAW pairs by (s1, s2) and aggregates
+      after the exchange.  Map-side partial aggregation is useless on
+      a co-occurrence pair stream (each group emits a pair once, so
+      duplicates only meet across groups: measured reduction 45M ->
+      43.9M rows) yet it builds multi-million-entry per-task hash maps
+      — gigabytes of spill at small partition counts, pure cache-miss
+      CPU at large.  Post-exchange the fused partial+final agg sees
+      ~|distinct pairs| / n_shuffle keys per task.
     """
-    items = df.groupBy(group_col).agg(
-        F.array_sort(F.collect_set(item_col)).alias("_items")
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    items = (
+        df.repartition(n_shuffle, group_col)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("_items"))
     )
     if max_group_items is not None:
         items = items.filter(F.size("_items") <= max_group_items)
@@ -77,7 +97,11 @@ def cooccurrence_edges(
             )
         ).alias("p")
     ).select("p.s1", "p.s2")
-    w = pairs.groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("weight"))
+    w = (
+        pairs.repartition(n_shuffle, "s1", "s2")
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
     if min_weight > 1:
         w = w.filter(F.col("weight") >= min_weight)
     return w
@@ -119,7 +143,10 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    broadcast_max_edges: int = 10_000_000,
+) -> DataFrame:
     """Per-node triangle counts over canonical undirected (s1 < s2) edges.
 
     Degree-ordered orientation: every undirected edge is directed from
@@ -131,11 +158,27 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     triangle SET (and therefore each node's count) is identical under
     any orientation, which is what the id-ordered SQL oracle checks.
 
+    Venue choice (size-adaptive, same discipline as the ANN query
+    venues): when the oriented edge set fits a broadcast
+    (``m <= broadcast_max_edges``, ~16 bytes/edge before HashedRelation
+    overhead) BOTH closing legs broadcast and the whole count collapses
+    to ONE stage — a scan of the oriented edges probing two in-memory
+    relations, wedges streaming straight into the closing probe and the
+    partial count without ever materializing.  The shuffle plan
+    (event-log-measured at 2.7M edges / 204M wedges) spends its wall
+    writing + reading the 2.2 GB wedge stream between two exchanges;
+    the broadcast plan eliminates both.  Above the threshold the
+    shuffle-everything plan stands — at that scale the wedge stream
+    dwarfs memory and the sort-merge join is the right physics.
+
     The oriented edge set feeds THREE join legs (and degrees feed two
     union branches), so both the canonical edges and the oriented set
     are checkpointed once — without that, an unpersisted upstream
     (e.g. a co-occurrence build) would be recomputed ~6x, which at
-    scale costs more than the triangle join itself.  The returned
+    scale costs more than the triangle join itself.  The oriented set
+    is round-robin repartitioned to the session shuffle width before
+    persisting so the probe/wedge stage keeps full parallelism even
+    when the caller hands in a few-partition edge frame.  The returned
     per-node counts are checkpoint-backed (same convention as
     connected_components); intermediates are released before return.
     """
@@ -151,6 +194,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("_d1") < F.col("_d2")) | (
         (F.col("_d1") == F.col("_d2")) & (F.col("s1") < F.col("s2"))
     )
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     oriented = _materialize(
         und.join(d1, "s1")
         .join(d2, "s2")
@@ -158,11 +204,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("s1")).otherwise(F.col("s2")).alias("lo"),
             F.when(lower_first, F.col("s2")).otherwise(F.col("s1")).alias("hi"),
         )
+        .repartition(n_shuffle)
     )
     e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     e3 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # m is a cheap count over the just-checkpointed und cache
+    if und.count() <= broadcast_max_edges:
+        tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
+    else:
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
     out = _materialize(
         tri.select(
             F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
@@ -244,6 +295,7 @@ def pagerank_integer(
     iters: int = 10,
     damping_num: int = 17,
     damping_den: int = 20,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over the UNDIRECTED graph in exact integer arithmetic.
 
@@ -256,32 +308,56 @@ def pagerank_integer(
     mismatch on summation order alone).  Undirected = symmetric
     adjacency, so there are no dangling nodes to special-case.
 
-    Scale: adjacency is hash-partitioned on src once and persisted;
-    each of the ``iters`` rounds is one partition-local join plus one
-    aggregation shuffle on dst; the iterate is checkpointed so the plan
-    stays O(1) deep.  Default damping 17/20 = 0.85.
+    Scale: adjacency is hash-partitioned on src once (AQE-sized, with
+    the parallelismFirst floor guaranteeing at least cluster
+    parallelism) and persisted.  When the node
+    count fits a broadcast (``n <= broadcast_max_nodes``, ~24
+    bytes/node) the per-iteration rank and degree joins broadcast the
+    node-sized side — each round is then ONE scan of the persisted
+    adjacency plus the contribution aggregation, whose map-side
+    partial agg reduces edge-count rows to node-count rows (the
+    high-REDUCTION regime where partial aggregation belongs).  Above
+    the threshold the shuffle joins stand.  The iterate is
+    checkpointed so the plan stays O(1) deep.  Default damping
+    17/20 = 0.85.
     """
     sym = edges.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst")
     ).unionAll(
         edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
     )
+    # AQE-sized exchange on purpose: a persisted frame scanned every
+    # iteration wants byte-proportional partitions with the
+    # parallelismFirst floor (= cluster parallelism), not the full
+    # session shuffle width — 128 partitions of a few-MB adjacency
+    # turns each of the iters scans into pure task-launch overhead
     adj = _materialize(sym.repartition("src"))
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
+    bcast = n <= broadcast_max_nodes
+    # in the broadcast venue the rank table is node-sized and driver-
+    # known-small, but localCheckpoint materializes at the full shuffle
+    # width (it bypasses AQE's final-stage coalescing) — narrow each
+    # iterate to cluster parallelism so the per-iteration checkpoint is
+    # cores tasks, not shuffle-width tasks over a few thousand rows
+    dp = edges.sparkSession.sparkContext.defaultParallelism
+    _narrow = (lambda d: d.coalesce(dp)) if bcast else (lambda d: d)
     base = ((damping_den - damping_num) * PAGERANK_SCALE) // (
         damping_den * n
     )
     ranks = _materialize(
-        deg.select(
-            F.col("src").alias("node"),
-            "deg",
-            F.lit(PAGERANK_SCALE // n).cast("bigint").alias("rank"),
+        _narrow(
+            deg.select(
+                F.col("src").alias("node"),
+                "deg",
+                F.lit(PAGERANK_SCALE // n).cast("bigint").alias("rank"),
+            )
         )
     )
     for _ in range(iters):
+        rside = F.broadcast(ranks) if bcast else ranks
         contrib = (
-            adj.join(ranks, adj["src"] == ranks["node"])
+            adj.join(rside, adj["src"] == ranks["node"])
             .select(
                 "dst",
                 F.expr(
@@ -298,9 +374,10 @@ def pagerank_integer(
             )
         )
         old = ranks
+        dside = deg.select(F.col("src").alias("node"), "deg")
         ranks = _materialize(
-            new_ranks.join(
-                deg.select(F.col("src").alias("node"), "deg"), "node"
+            _narrow(
+                new_ranks.join(F.broadcast(dside) if bcast else dside, "node")
             )
         )
         old.unpersist()
@@ -354,6 +431,7 @@ def k_core(edges: DataFrame, k: int) -> DataFrame:
 def link_prediction(
     edges: DataFrame,
     min_common: int = 2,
+    broadcast_max_edges: int = 10_000_000,
 ) -> DataFrame:
     """Non-adjacent node pairs ranked by shared neighbors.
 
@@ -375,6 +453,10 @@ def link_prediction(
     :func:`triangle_counts`.  The result is checkpoint-backed.
     """
     und = _materialize(edges.select("s1", "s2"))
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    bcast = und.count() <= broadcast_max_edges
     sym = und.select(
         F.col("s1").alias("mid"), F.col("s2").alias("end")
     ).unionAll(
@@ -382,10 +464,17 @@ def link_prediction(
     )
     w1 = sym.select("mid", F.col("end").alias("a"))
     w2 = sym.select("mid", F.col("end").alias("b"))
+    # wedge pairs are near-distinct, so map-side partial aggregation is
+    # the same pathology as the co-occurrence pair count: repartition the
+    # raw wedge stream on its keys and aggregate after the exchange (see
+    # cooccurrence_edges).  When the edge set fits a broadcast, the wedge
+    # join side broadcasts too and wedge generation is one scan stage.
     wedges = (
-        w1.join(w2, "mid")
+        w1.join(F.broadcast(w2) if bcast else w2, "mid")
         .filter(F.col("a") < F.col("b"))
-        .groupBy(F.col("a").alias("s1"), F.col("b").alias("s2"))
+        .select(F.col("a").alias("s1"), F.col("b").alias("s2"))
+        .repartition(n_shuffle, "s1", "s2")
+        .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )

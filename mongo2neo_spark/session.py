@@ -41,6 +41,13 @@ DEFAULT_CONFS = {
     # (hundreds of keys); the parquet default stops converting IN to a
     # row-group-prunable predicate above 10 values
     "spark.sql.parquet.pushdown.inFilterThreshold": "2048",
+    # ObjectHashAggregate (collect_set/collect_list) falls back to
+    # sort-based aggregation after 128 in-memory keys — sized for
+    # huge-object aggs, pathological for the bounded small-set aggs
+    # this engine runs (co-occurrence item sets, provenance lists):
+    # event-log-measured 4.9 GB of sort-spill on a 1M-group build.
+    # 64k keys of bounded small sets is a few tens of MB per task.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "65536",
 }
 
 

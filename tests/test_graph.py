@@ -92,6 +92,21 @@ class TestTriangles:
         # each node of K5 is in C(4,2) = 6 triangles
         assert got == {v: 6 for v in range(5)}
 
+    def test_shuffle_venue_matches_broadcast_venue(self, spark):
+        # broadcast_max_edges=0 forces the shuffle-everything plan; the
+        # triangle set is venue-invariant by construction
+        from mongo2neo_spark.operators.graph import triangle_counts
+
+        e = _edges_df(spark, SMALL)
+        via_bcast = {
+            r.node: r.n_triangles for r in triangle_counts(e).collect()
+        }
+        via_shuffle = {
+            r.node: r.n_triangles
+            for r in triangle_counts(e, broadcast_max_edges=0).collect()
+        }
+        assert via_bcast == via_shuffle == _brute_triangles(SMALL)
+
     def test_degree_distribution(self, spark):
         from mongo2neo_spark.operators.graph import degree_distribution
 
@@ -132,6 +147,23 @@ class TestPagerank:
         total = sum(r["rank"] for r in rows)
         assert total <= PAGERANK_SCALE
         assert total > PAGERANK_SCALE - len(rows) * 5 * 40
+
+    def test_shuffle_venue_matches_broadcast_venue(self, spark):
+        # broadcast_max_nodes=0 forces the shuffle-join plan; integer
+        # arithmetic makes the two venues bit-identical, not just close
+        from mongo2neo_spark.operators.graph import pagerank_integer
+
+        e = _edges_df(spark, SMALL)
+        via_bcast = sorted(
+            (r.node, r["rank"]) for r in pagerank_integer(e, iters=4).collect()
+        )
+        via_shuffle = sorted(
+            (r.node, r["rank"])
+            for r in pagerank_integer(
+                e, iters=4, broadcast_max_nodes=0
+            ).collect()
+        )
+        assert via_bcast == via_shuffle
 
 
 class TestKCore:
@@ -210,6 +242,18 @@ class TestLinkPrediction:
 
         got = link_prediction(_edges_df(spark, CLIQUE5), min_common=2)
         assert got.count() == 0  # clique: every candidate pair is adjacent
+
+    def test_shuffle_venue_matches_broadcast_venue(self, spark):
+        from mongo2neo_spark.operators.graph import link_prediction
+
+        e = _edges_df(spark, SMALL + [(0, 10), (1, 10)])
+        key = lambda r: (r.s1, r.s2, r.n_common, r.jaccard_ppm)  # noqa: E731
+        via_bcast = sorted(key(r) for r in link_prediction(e).collect())
+        via_shuffle = sorted(
+            key(r)
+            for r in link_prediction(e, broadcast_max_edges=0).collect()
+        )
+        assert via_bcast == via_shuffle and via_bcast
 
 
 class TestPacking:
