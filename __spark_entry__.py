@@ -1572,6 +1572,35 @@ FROM na JOIN deg da ON na.s1 = da.node JOIN deg db ON na.s2 = db.node
 """
 
 
+def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities on the weight>=2
+    co-occurrence graph: all-integer votes with min-label tie-break and
+    a fixed round count, so the pure-Python replica
+    (entry_oracle.label_propagation_rows) is an exact oracle."""
+    from mongo2neo_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _part_edges(spark, sf_dir, min_weight=2).select("s1", "s2"), iters=5
+    )
+
+
+BM25_QUERY_TERMS = ("spark", "join", "window", "vector")
+
+
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 over the documents table for a fixed
+    bag-of-words query.  Corpus is never shuffled: map-side HOF term
+    frequencies, one 1-row stats agg broadcast back, map-side scoring,
+    TakeOrdered top-k.  Scores in integer micro-units (the repo-wide
+    float-hash discipline); the DuckDB oracle mirrors the expression
+    term-for-term."""
+    from mongo2neo_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=15
+    )
+
+
 def khop_order_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop BFS within 3 hops of every 10th order node over the KG's
     directed edges (order->customer->nation->region, order->part);
@@ -1725,6 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parts": pagerank_parts,
         "kcore_parts": kcore_parts,
         "link_prediction_parts": link_prediction_parts,
+        "label_propagation_parts": label_propagation_parts,
+        "bm25_topk_documents": bm25_topk_documents,
         "khop_order_reachability": khop_order_reachability,
         "pack_sequences_documents": pack_sequences_documents,
         "packing_profile_documents": packing_profile_documents,
@@ -1799,6 +1830,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_parts": _eo().pagerank_sql(),
         "kcore_parts": _eo().kcore_sql(),
         "link_prediction_parts": _LINK_PRED_SQL,
+        "label_propagation_parts": _eo().label_propagation_sql(),
+        "bm25_topk_documents": _bm25_sql(),
         "khop_order_reachability": _KHOP_SQL,
         "pack_sequences_documents": _eo().pack_sql(),
         "packing_profile_documents": _eo().pack_profile_sql(),
@@ -1809,3 +1842,9 @@ def _eo():
     from mongo2neo_spark import entry_oracle
 
     return entry_oracle
+
+
+def _bm25_sql() -> str:
+    from mongo2neo_spark.operators.retrieval import bm25_sql
+
+    return bm25_sql("documents", BM25_QUERY_TERMS, k=15)

@@ -872,3 +872,35 @@ SELECT bucket,
          // (COUNT(DISTINCT seq_id) * {int(budget)}) AS fill_ppm
 FROM packed WHERE NOT overflow GROUP BY bucket
 """
+
+
+def label_propagation_rows(
+    sf_dir: str | None = None, min_weight: int = 2, iters: int = 5
+) -> List[tuple]:
+    """Synchronous-LPA replica of ``operators.graph.label_propagation``:
+    all-integer votes, min-label tie-break, fixed round count — the
+    synchronous update plus the deterministic tie-break make the round
+    trajectory (and so the final labels) unique on both engines."""
+    edges = part_cooccurrence(sf_dir, min_weight)
+    adj: defaultdict = defaultdict(list)
+    for (a, b) in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    label = {u: u for u in adj}
+    for _ in range(iters):
+        new = {}
+        for u, nbrs in adj.items():
+            votes: defaultdict = defaultdict(int)
+            for v in nbrs:
+                votes[label[v]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[u] = best[0]
+        label = new
+    return sorted((int(u), int(c)) for u, c in label.items())
+
+
+def label_propagation_sql() -> str:
+    return values_sql(
+        label_propagation_rows(),
+        [("node", "BIGINT"), ("community", "BIGINT")],
+    )

@@ -500,3 +500,82 @@ def link_prediction(
     )
     und.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# community detection: synchronous label propagation
+# ---------------------------------------------------------------------------
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    broadcast_max_nodes: int = 2_000_000,
+) -> DataFrame:
+    """Community labels by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007), made fully deterministic: every node starts with its own
+    id as label, and each round simultaneously adopts the label that is
+    most frequent among its neighbors, ties broken by SMALLEST label.
+    Fixed ``iters`` rounds (no convergence test — synchronous LPA can
+    oscillate on bipartite structures, and a fixed round count is what
+    makes the pure-Python replica an exact oracle).
+
+    All arithmetic is integer (labels are node ids, votes are counts),
+    so Spark and the oracle agree bit-for-bit; the min-label tie-break
+    is expressed as ``max(struct(votes, -label))`` — one aggregation,
+    no window.
+
+    Scale: same venue discipline as :func:`pagerank_integer` — the
+    adjacency is hash-partitioned once and persisted; the node-sized
+    label table broadcasts below ``broadcast_max_nodes``, making each
+    round one scan of the persisted adjacency plus the vote counting.
+    The (node, neighbor-label) vote stream is near-distinct in EARLY
+    rounds (labels start unique, so map-side partial aggregation would
+    build per-task hash maps for ~zero reduction — the
+    cooccurrence_edges pathology) and only becomes reducible once
+    communities coalesce; the raw votes are therefore repartitioned on
+    their full key and aggregated post-exchange, sizing for the
+    worst-case round.  The iterate is checkpointed so the plan stays
+    O(1) deep.
+    """
+    sym = edges.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionAll(
+        edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    adj = _materialize(sym.repartition("src"))
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    nodes = adj.select("src").distinct()
+    n = nodes.count()
+    bcast = n <= broadcast_max_nodes
+    dp = edges.sparkSession.sparkContext.defaultParallelism
+    _narrow = (lambda d: d.coalesce(dp)) if bcast else (lambda d: d)
+    labels = _materialize(
+        _narrow(nodes.select(F.col("src").alias("node"),
+                             F.col("src").alias("label")))
+    )
+    for _ in range(iters):
+        lside = F.broadcast(labels) if bcast else labels
+        votes = adj.join(lside, adj["dst"] == labels["node"]).select(
+            "src", "label"
+        )
+        new_labels = (
+            votes.repartition(n_shuffle, "src", "label")
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("_votes"))
+            .groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(F.col("_votes"), (-F.col("label")).alias("_neg"))
+                ).alias("_best")
+            )
+            .select(
+                F.col("src").alias("node"),
+                (-F.col("_best._neg")).alias("label"),
+            )
+        )
+        old = labels
+        labels = _materialize(_narrow(new_labels))
+        old.unpersist()
+    adj.unpersist()
+    return labels.select("node", F.col("label").alias("community"))

@@ -303,3 +303,64 @@ class TestPacking:
         assert {(r.bucket, r.n_docs, r.n_seqs, r.fill_ppm) for r in prof} == {
             (0, 4, 2, 800000), (1, 4, 2, 800000),
         }
+
+
+def _lpa_replica(pairs, iters):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {u: u for u in adj}
+    for _ in range(iters):
+        new = {}
+        for u, nbrs in adj.items():
+            votes = {}
+            for v in nbrs:
+                votes[label[v]] = votes.get(label[v], 0) + 1
+            new[u] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        label = new
+    return label
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from mongo2neo_spark.operators.graph import label_propagation
+
+        c1 = list(itertools.combinations(range(4), 2))
+        c2 = list(itertools.combinations(range(10, 14), 2))
+        pairs = c1 + c2 + [(0, 10)]  # single bridge edge
+        got = {
+            r.node: r.community
+            for r in label_propagation(_edges_df(spark, pairs), iters=5)
+            .collect()
+        }
+        assert got == _lpa_replica(pairs, 5)
+        # each clique converges to one community, and they differ
+        assert len({got[v] for v in range(4)}) == 1
+        assert len({got[v] for v in range(10, 14)}) == 1
+        assert got[0] != got[10] or got[1] != got[11]
+
+    def test_replica_equality_on_lumpy_graph(self, spark):
+        from mongo2neo_spark.operators.graph import label_propagation
+
+        for iters in (1, 3, 5):
+            got = {
+                r.node: r.community
+                for r in label_propagation(
+                    _edges_df(spark, SMALL), iters=iters
+                ).collect()
+            }
+            assert got == _lpa_replica(SMALL, iters), f"iters={iters}"
+
+    def test_shuffle_venue_matches_broadcast_venue(self, spark):
+        from mongo2neo_spark.operators.graph import label_propagation
+
+        e = _edges_df(spark, SMALL)
+        via_bcast = sorted(
+            (r.node, r.community) for r in label_propagation(e).collect()
+        )
+        via_shuffle = sorted(
+            (r.node, r.community)
+            for r in label_propagation(e, broadcast_max_nodes=0).collect()
+        )
+        assert via_bcast == via_shuffle
