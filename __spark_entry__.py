@@ -1601,6 +1601,70 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking of the documents
+    table (window=32, stride=24): pure map-side sequence/posexplode/
+    slice — zero shuffles, zero Python."""
+    from mongo2neo_spark.operators.retrieval import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), window=32, stride=24
+    )
+
+
+def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality signal: per-doc unigram
+    log-probability under the corpus's own unigram distribution.
+    Per-token micro quantization before the integer sum keeps the doc
+    aggregate independent of float summation order (SURVEY.md §5)."""
+    from mongo2neo_spark.operators.lm import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def hybrid_rrf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (sparse) + exact-cosine top-20 for
+    embedding vec_id=0 (dense, vec_id==doc_id aligned), fused by
+    reciprocal-rank fusion into one top-10.  The fusion join is over
+    two k-row lists — the heavy lifting stays in the two rankers."""
+    from pyspark.sql import Window
+
+    from mongo2neo_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from mongo2neo_spark.operators.similarity import brute_force_topk
+
+    bm = bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=20
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cs = brute_force_topk(emb, emb.filter("vec_id = 0"), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(bm, cs, k=10)
+
+
+_HYBRID_COSINE_SQL = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+     c AS (SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id != 0),
+scored AS (
+  SELECT nid,
+         list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+         / (SQRT(list_sum(list_transform(qv, x -> x * x)))
+            * SQRT(list_sum(list_transform(cv, x -> x * x)))) AS cos
+  FROM q, c),
+ranked AS (
+  SELECT nid AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, rank FROM ranked WHERE rank <= 20
+"""
+
+
 def khop_order_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop BFS within 3 hops of every 10th order node over the KG's
     directed edges (order->customer->nation->region, order->part);
@@ -1756,6 +1820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_parts": link_prediction_parts,
         "label_propagation_parts": label_propagation_parts,
         "bm25_topk_documents": bm25_topk_documents,
+        "chunk_documents_rag": chunk_documents_rag,
+        "unigram_logprob_documents": unigram_logprob_documents,
+        "hybrid_rrf_documents": hybrid_rrf_documents,
         "khop_order_reachability": khop_order_reachability,
         "pack_sequences_documents": pack_sequences_documents,
         "packing_profile_documents": packing_profile_documents,
@@ -1832,6 +1899,9 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_parts": _LINK_PRED_SQL,
         "label_propagation_parts": _eo().label_propagation_sql(),
         "bm25_topk_documents": _bm25_sql(),
+        "chunk_documents_rag": _chunk_sql(),
+        "unigram_logprob_documents": _unigram_sql(),
+        "hybrid_rrf_documents": _hybrid_rrf_sql(),
         "khop_order_reachability": _KHOP_SQL,
         "pack_sequences_documents": _eo().pack_sql(),
         "packing_profile_documents": _eo().pack_profile_sql(),
@@ -1848,3 +1918,25 @@ def _bm25_sql() -> str:
     from mongo2neo_spark.operators.retrieval import bm25_sql
 
     return bm25_sql("documents", BM25_QUERY_TERMS, k=15)
+
+
+def _chunk_sql() -> str:
+    from mongo2neo_spark.operators.retrieval import chunk_sql
+
+    return chunk_sql("documents", window=32, stride=24)
+
+
+def _unigram_sql() -> str:
+    from mongo2neo_spark.operators.lm import unigram_logprob_sql
+
+    return unigram_logprob_sql("documents")
+
+
+def _hybrid_rrf_sql() -> str:
+    from mongo2neo_spark.operators.retrieval import bm25_sql, hybrid_rrf_sql
+
+    return hybrid_rrf_sql(
+        bm25_sql("documents", BM25_QUERY_TERMS, k=20),
+        _HYBRID_COSINE_SQL,
+        k=10,
+    )

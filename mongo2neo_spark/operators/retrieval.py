@@ -124,6 +124,136 @@ def bm25_topk(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window prep
+    step): each document becomes ceil(n_tokens / stride) chunks of up to
+    ``window`` tokens starting every ``stride`` tokens.
+
+    Scale shape: pure map-side — tokenize, ``sequence`` the start
+    offsets, ``posexplode``, ``slice`` — ZERO shuffles and no Python;
+    the expansion factor is bounded by window/stride and the explode
+    streams through whole-stage codegen.  At 100 TB this is exactly a
+    scan -> project -> write job; partitioning of the output follows the
+    input (chunks of one doc stay in one task).
+
+    Returns (id_col, chunk_idx, start_tok, n_chunk_tokens, chunk_text);
+    docs with zero tokens produce no chunks (mirrored in the SQL oracle,
+    where the unnest of an empty series emits no rows).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = docs.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") >= 1)
+    starts = toks.select(
+        id_col,
+        "_toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice("_toks", F.col("start_tok") + 1, window)
+    return starts.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def chunk_sql(
+    table: str,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (1-based inclusive list
+    slicing ``lst[a:b]`` == Spark ``slice(lst, a, b-a+1)``)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+    list_filter(string_split_regex(lower(coalesce({text_col}, '')),
+                                   '{TOKEN_SPLIT_PATTERN}'),
+                x -> x <> '') AS _toks
+  FROM {table}
+), nz AS (
+  SELECT {id_col}, _toks, len(_toks) AS _n FROM toks WHERE len(_toks) >= 1
+), st AS (
+  SELECT {id_col}, _toks,
+         unnest(generate_series(0, _n - 1, {stride})) AS start_tok
+  FROM nz
+)
+SELECT {id_col},
+  CAST(start_tok // {stride} AS BIGINT) AS chunk_idx,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(len(list_slice(_toks, start_tok + 1, start_tok + {window}))
+       AS BIGINT) AS n_chunk_tokens,
+  array_to_string(list_slice(_toks, start_tok + 1, start_tok + {window}),
+                  ' ') AS chunk_text
+FROM st
+"""
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    candidate lists — the standard hybrid-retrieval combiner for a
+    sparse (BM25) and a dense (embedding cosine) ranker.
+
+    Each input is (id_col, rank_col) with 1-based ranks.  Contribution
+    of each list is round(1e6 / (k_rrf + rank)) in integer micro-units
+    (one double division + one round — hash-stable across engines);
+    absent ids contribute 0.  Both inputs are top-k lists (tiny), so the
+    full-outer join and sort are driver-scale no matter the corpus size;
+    the expensive work happened upstream in the two rankers.
+
+    Returns (id_col, rrf_micro, rank_a, rank_b) ordered by
+    (rrf_micro desc, id asc), cut at ``k``.
+    """
+    a = ranked_a.select(
+        F.col(id_col), F.col(rank_col).cast("long").alias("rank_a")
+    )
+    b = ranked_b.select(
+        F.col(id_col), F.col(rank_col).cast("long").alias("rank_b")
+    )
+    f = a.join(b, on=id_col, how="full_outer")
+
+    def _contrib(c: Column) -> Column:
+        return F.coalesce(
+            F.round(F.lit(1_000_000.0) / (F.lit(float(k_rrf)) + c.cast("double")))
+            .cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+
+    return (
+        f.select(
+            id_col,
+            (_contrib(F.col("rank_a")) + _contrib(F.col("rank_b"))).alias(
+                "rrf_micro"
+            ),
+            "rank_a",
+            "rank_b",
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def bm25_sql(
     table: str,
     query_terms: Sequence[str],
@@ -177,5 +307,46 @@ SELECT {id_col},
 FROM tf, stats
 WHERE ({matched}) > 0
 ORDER BY score_micro DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
+def hybrid_rrf_sql(
+    bm25_subquery: str,
+    cosine_subquery: str,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`rrf_fuse` over two ranked subqueries.
+
+    ``bm25_subquery`` must yield (id_col, score_micro) rows (rank is
+    derived here with the same (score desc, id asc) tie-break the Spark
+    entry uses); ``cosine_subquery`` must yield (id_col, rank).  Each
+    may carry its own WITH clause — standard SQL allows a WITH inside a
+    parenthesized subquery.
+    """
+    contrib = (
+        "COALESCE(CAST(round(1000000.0 / ({kr} + CAST({{r}} AS DOUBLE)))"
+        " AS BIGINT), 0)"
+    ).format(kr=float(k_rrf))
+    ca = contrib.format(r="bm.rank_a")
+    cb = contrib.format(r="cs.rank_b")
+    return f"""
+WITH bm AS (
+  SELECT {id_col},
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, {id_col} ASC)
+           AS rank_a
+  FROM ({bm25_subquery})
+), cs AS (
+  SELECT {id_col}, CAST(rank AS BIGINT) AS rank_b
+  FROM ({cosine_subquery})
+)
+SELECT COALESCE(bm.{id_col}, cs.{id_col}) AS {id_col},
+       {ca} + {cb} AS rrf_micro,
+       bm.rank_a AS rank_a,
+       cs.rank_b AS rank_b
+FROM bm FULL OUTER JOIN cs ON bm.{id_col} = cs.{id_col}
+ORDER BY rrf_micro DESC, {id_col} ASC
 LIMIT {k}
 """

@@ -98,3 +98,213 @@ class TestBM25:
             tuple(r) for r in bm25_topk(df, ["spark", "window"], k=10).collect()
         }
         assert got == want
+
+
+def _py_chunks(docs, window, stride):
+    """Independent reference chunker."""
+    import re
+
+    out = []
+    for i, txt in docs:
+        tk = [t for t in re.split(r"[^a-z0-9]+", (txt or "").lower()) if t]
+        for ci, start in enumerate(range(0, len(tk), stride)):
+            piece = tk[start : start + window]
+            out.append((i, ci, start, len(piece), " ".join(piece)))
+    return set(out)
+
+
+class TestChunking:
+    def test_matches_python_reference(self, spark):
+        from mongo2neo_spark.operators.retrieval import chunk_documents
+
+        docs = [
+            (1, " ".join(f"w{j}" for j in range(100))),  # 100 toks
+            (2, "short doc"),                            # < window
+            (3, " ".join(f"x{j}" for j in range(64))),   # exactly 2 strides
+            (4, ""),                                     # no chunks
+            (5, None),                                   # no chunks
+            (6, " ".join("t" for _ in range(65))),       # boundary + 1
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            (r.doc_id, r.chunk_idx, r.start_tok, r.n_chunk_tokens,
+             r.chunk_text)
+            for r in chunk_documents(df, window=32, stride=24).collect()
+        }
+        assert got == _py_chunks(docs, 32, 24)
+
+    def test_overlap_reconstructs_document(self, spark):
+        """Consecutive chunks overlap by window-stride tokens and their
+        union in order reconstructs the token stream exactly."""
+        from mongo2neo_spark.operators.retrieval import chunk_documents
+
+        text = " ".join(f"w{j}" for j in range(100))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = sorted(
+            chunk_documents(df, window=32, stride=24).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        toks = []
+        for r in rows:
+            ct = r.chunk_text.split(" ")
+            toks.extend(ct if not toks else ct[32 - 24:])
+        assert toks == text.split(" ")
+
+    def test_zero_shuffle_plan(self, spark):
+        """The chunker must be pure map-side: no Exchange in the
+        physical plan (the 100 TB shape is scan -> project -> write)."""
+        from mongo2neo_spark.operators.retrieval import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id bigint, text string"
+        )
+        plan = (
+            chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_sql_mirror_agrees(self, spark):
+        duckdb = pytest.importorskip("duckdb")
+        import pandas as pd
+
+        from mongo2neo_spark.operators.retrieval import (
+            chunk_documents,
+            chunk_sql,
+        )
+
+        docs = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, ""), (3, "one two")]
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+        )
+        want = {tuple(r) for r in con.sql(
+            chunk_sql("documents", window=3, stride=2)
+        ).fetchall()}
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            tuple(r)
+            for r in chunk_documents(df, window=3, stride=2).collect()
+        }
+        assert got == want
+
+
+def _py_rrf(list_a, list_b, k_rrf=60, k=10):
+    """Independent reference RRF: each input is [(id, rank)]."""
+    ra = dict(list_a)
+    rb = dict(list_b)
+    out = []
+    for i in sorted(set(ra) | set(rb)):
+        s = 0
+        if i in ra:
+            s += int(round(1_000_000.0 / (k_rrf + ra[i])))
+        if i in rb:
+            s += int(round(1_000_000.0 / (k_rrf + rb[i])))
+        out.append((i, s, ra.get(i), rb.get(i)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+class TestRRF:
+    def _fuse(self, spark, la, lb, **kw):
+        from mongo2neo_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(la, "doc_id bigint, rank bigint")
+        b = spark.createDataFrame(lb, "doc_id bigint, rank bigint")
+        return [tuple(r) for r in rrf_fuse(a, b, **kw).collect()]
+
+    def test_matches_python_reference(self, spark):
+        la = [(10, 1), (20, 2), (30, 3), (40, 4)]
+        lb = [(30, 1), (10, 2), (50, 3)]
+        assert self._fuse(spark, la, lb) == _py_rrf(la, lb)
+
+    def test_disjoint_lists_and_cut(self, spark):
+        la = [(i, i) for i in range(1, 8)]
+        lb = [(100 + i, i) for i in range(1, 8)]
+        got = self._fuse(spark, la, lb, k=5)
+        assert got == _py_rrf(la, lb, k=5)
+        # rank-1 of each list tie on score; id tie-break decides
+        assert [g[0] for g in got[:2]] == [1, 101]
+
+    def test_doc_in_both_lists_outranks_singletons(self, spark):
+        la = [(1, 1), (2, 2)]
+        lb = [(2, 1), (3, 2)]
+        got = self._fuse(spark, la, lb)
+        assert got[0][0] == 2  # present in both lists
+
+
+class TestUnigramLM:
+    DOCS = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, "cat cat cat"),
+        (4, ""),
+        (5, None),
+    ]
+
+    @staticmethod
+    def _py_unigram(docs):
+        import math
+        import re
+        from collections import Counter
+
+        toks = {
+            i: [t for t in re.split(r"[^a-z0-9]+", (txt or "").lower()) if t]
+            for i, txt in docs
+        }
+        vocab = Counter(t for v in toks.values() for t in v)
+        total = sum(vocab.values())
+        logp = {
+            t: int(round(math.log(c / total) * 1_000_000.0))
+            for t, c in vocab.items()
+        }
+        return {
+            i: (len(v), sum(logp[t] for t in v))
+            for i, v in toks.items()
+            if v
+        }
+
+    def test_matches_python_reference(self, spark):
+        from mongo2neo_spark.operators.lm import unigram_logprob
+
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.sum_logp_micro)
+            for r in unigram_logprob(df).collect()
+        }
+        assert got == self._py_unigram(self.DOCS)
+        assert 4 not in got and 5 not in got  # token-less docs drop
+
+    def test_broadcast_off_same_answer(self, spark):
+        """The sort-merge fallback venue must be answer-identical."""
+        from mongo2neo_spark.operators.lm import unigram_logprob
+
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        a = {tuple(r) for r in unigram_logprob(df).collect()}
+        b = {
+            tuple(r)
+            for r in unigram_logprob(df, broadcast_vocab=False).collect()
+        }
+        assert a == b
+
+    def test_sql_mirror_agrees(self, spark):
+        duckdb = pytest.importorskip("duckdb")
+        import pandas as pd
+
+        from mongo2neo_spark.operators.lm import (
+            unigram_logprob,
+            unigram_logprob_sql,
+        )
+
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.DOCS, columns=["doc_id", "text"]),
+        )
+        want = {
+            tuple(r)
+            for r in con.sql(unigram_logprob_sql("documents")).fetchall()
+        }
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        got = {tuple(r) for r in unigram_logprob(df).collect()}
+        assert got == want
