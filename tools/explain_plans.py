@@ -185,6 +185,22 @@ def main() -> None:
 
         shutil.rmtree(idx_root, ignore_errors=True)
 
+    from mongo2neo_spark.operators import lm as lm_mod
+    from mongo2neo_spark.operators import retrieval as ret_mod
+
+    sections[
+        "bm25 top-k (corpus never shuffled: map-side HOF tf, 1-row "
+        "stats broadcast back, TakeOrderedAndProject)"
+    ] = plan_of(ret_mod.bm25_topk(docs, ("spark", "join"), k=10))
+    sections[
+        "rag chunking (sequence -> posexplode -> slice: pure map-side, "
+        "ZERO exchanges)"
+    ] = plan_of(ret_mod.chunk_documents(docs, window=32, stride=24))
+    sections[
+        "unigram-LM scoring (vocab-sized token agg, 1-row total "
+        "broadcast, vocab broadcast re-join, per-doc int64 sums)"
+    ] = plan_of(lm_mod.unigram_logprob(docs))
+
     audits = []
     for name, plan in sections.items():
         checks = {
