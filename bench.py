@@ -176,6 +176,9 @@ def main() -> None:
         # round-5 additions — NOT part of r2_comparable (see R2_SET)
         "triangle_counts_parts",
         "pagerank_parts",
+        "bm25_topk_documents",
+        "chunk_documents_rag",
+        "unigram_logprob_documents",
     ]
     qs = entrymod.queries()
     for name in heads:
