@@ -423,10 +423,12 @@ def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# token class mirrors operators.text.ASCII_NONSPACE_PATTERN exactly
+# (explicit ASCII set — Java/RE2/Python `\s` classes disagree on \x0B
+# and Unicode spaces, the spelled-out class cannot)
 _TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
-       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-            ELSE LEN(regexp_extract_all(TRIM(text), '\S+')) END AS n_tokens,
+       LEN(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')) AS n_tokens,
        LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
 FROM documents
 """
@@ -444,8 +446,7 @@ def quality_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_SQL = r"""
 WITH b AS (
   SELECT doc_id,
-         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE LEN(regexp_extract_all(TRIM(text), '\S+')) END AS n_tok,
+         LEN(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')) AS n_tok,
          LEN(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|in|is|for)\b')) AS n_stop,
          LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
          LENGTH(text) AS n_char
@@ -1601,6 +1602,32 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 60-term query for the wide-query (token-join) BM25 path: the full
+# fixture vocabulary plus terms absent from the corpus (df=0 terms
+# must contribute nothing on both engines)
+BM25_WIDE_QUERY_TERMS = tuple(sorted(
+    {"join", "hash", "row", "batch", "scan", "customer", "column",
+     "filter", "small", "slow", "merge", "order", "vector", "line",
+     "data", "table", "agg", "value", "key", "stream", "window",
+     "spark", "a", "part", "group", "big", "sort", "query", "fast",
+     "the", "dup"} | {f"zzabsent{i}" for i in range(29)}
+))
+
+
+def bm25_widequery_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-query BM25 (60 terms) via the query-term-table join path:
+    corpus tokens explode once, a broadcast term join filters map-side,
+    and the ONLY corpus-scale exchange is the (doc, term) aggregation
+    of matched occurrences — the per-term-column plan would need a
+    60-column projection here.  Per-term micro-quantization before the
+    int64 doc sum keeps the score summation-order-proof (SURVEY §5)."""
+    from mongo2neo_spark.operators.retrieval import bm25_topk_tokenjoin
+
+    return bm25_topk_tokenjoin(
+        _t(spark, sf_dir, "documents"), BM25_WIDE_QUERY_TERMS, k=25
+    )
+
+
 def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping token-window chunking of the documents
     table (window=32, stride=24): pure map-side sequence/posexplode/
@@ -1820,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_parts": link_prediction_parts,
         "label_propagation_parts": label_propagation_parts,
         "bm25_topk_documents": bm25_topk_documents,
+        "bm25_widequery_documents": bm25_widequery_documents,
         "chunk_documents_rag": chunk_documents_rag,
         "unigram_logprob_documents": unigram_logprob_documents,
         "hybrid_rrf_documents": hybrid_rrf_documents,
@@ -1899,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_parts": _LINK_PRED_SQL,
         "label_propagation_parts": _eo().label_propagation_sql(),
         "bm25_topk_documents": _bm25_sql(),
+        "bm25_widequery_documents": _bm25_widequery_sql(),
         "chunk_documents_rag": _chunk_sql(),
         "unigram_logprob_documents": _unigram_sql(),
         "hybrid_rrf_documents": _hybrid_rrf_sql(),
@@ -1918,6 +1947,12 @@ def _bm25_sql() -> str:
     from mongo2neo_spark.operators.retrieval import bm25_sql
 
     return bm25_sql("documents", BM25_QUERY_TERMS, k=15)
+
+
+def _bm25_widequery_sql() -> str:
+    from mongo2neo_spark.operators.retrieval import bm25_tokenjoin_sql
+
+    return bm25_tokenjoin_sql("documents", BM25_WIDE_QUERY_TERMS, k=25)
 
 
 def _chunk_sql() -> str:

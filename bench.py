@@ -70,8 +70,27 @@ def main() -> None:
                                     "BENCH"))
     from scaling import host_calibration_wall
 
-    host_cal = round(min(host_calibration_wall(int(CPUS))
-                         for _ in range(2)), 3)
+    # MID-SUITE calibration (round-6, VERDICT #2): a single pre-JVM
+    # sample provably failed round 5 — the driver's suite recorded host
+    # 0.967 / kg 13.9s while a judge run the same day recorded 0.685 /
+    # 14.1s on identical code, a 1.4x disagreement purely because this
+    # VM drifts minute-to-minute and one sample can't bracket it.  The
+    # suite now samples the same fixed pure-CPU workload at three
+    # points (pre-JVM, after the kg walls, after the last headline
+    # query) and normalizes each query segment by the MEAN host speed
+    # of its two bracketing samples, emitted per query so the driver
+    # can read normalized numbers without a judge re-run.
+    cal_samples: list = []
+
+    def calibrate(at: str, best_of: int = 1) -> float:
+        sec = round(
+            min(host_calibration_wall(int(CPUS)) for _ in range(best_of)), 3
+        )
+        cal_samples.append({"at": at, "workload_sec": sec,
+                            "host_speed_vs_ref": round(HOST_CAL_REF_SEC / sec, 3)})
+        return sec
+
+    host_cal = calibrate("pre_jvm", best_of=2)
 
     spark = get_spark(
         app_name="m2n-bench",
@@ -140,6 +159,7 @@ def main() -> None:
         kg_once(i)
         kg_walls.append(round(time.monotonic() - t0, 3))
     timings["kg_pipeline"] = min(kg_walls)
+    calibrate("post_kg")
 
     # 2. the composed training-data curation pipeline end-to-end
     # (profile -> exact dedup -> minhash near-dup -> quality/lang filter)
@@ -174,15 +194,52 @@ def main() -> None:
         "token_counts_documents",
         "quality_scores_documents",
         # round-5 additions — NOT part of r2_comparable (see R2_SET)
-        "triangle_counts_parts",
-        "pagerank_parts",
         "bm25_topk_documents",
+        "bm25_widequery_documents",
         "chunk_documents_rag",
         "unigram_logprob_documents",
     ]
     qs = entrymod.queries()
     for name in heads:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    # 4. graph headliners with the co-occurrence edge BUILD split from
+    # the algorithms (round-6, VERDICT #4): the round-5
+    # triangle_counts_parts headline (19.6s) mostly timed rebuilding
+    # the edge graph + its checkpoints inside every repetition, so a
+    # triangle-join regression would drown.  part_edges_build times the
+    # build once to parquet; the algorithm keys time triangle counting
+    # and PageRank on the prebuilt table.  Their sum tracks the old
+    # conflated numbers (old = build + algo per query).
+    from mongo2neo_spark.operators.graph import (
+        pagerank_integer,
+        triangle_counts,
+    )
+
+    edges_dir = tempfile.mkdtemp(prefix="m2n_bench_edges_")
+    edges_path = f"{edges_dir}/part_edges"
+
+    def edges_build():
+        entrymod._part_edges(spark, SF_DIR).select(
+            "s1", "s2", "weight"
+        ).write.mode("overwrite").parquet(edges_path)
+
+    timed("part_edges_build", edges_build)
+    prebuilt = spark.read.parquet(edges_path)
+    timed(
+        "triangle_counts_on_edges",
+        lambda: triangle_counts(prebuilt.select("s1", "s2")).count(),
+    )
+    # pagerank_parts uses the weight>=2 graph; min_weight is a post-agg
+    # filter in cooccurrence_edges, so filtering the prebuilt table is
+    # the identical graph
+    pr_edges = prebuilt.filter("weight >= 2").select("s1", "s2")
+    timed(
+        "pagerank_on_edges",
+        lambda: pagerank_integer(pr_edges, iters=10).count(),
+    )
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    calibrate("post_suite")
 
     total = round(sum(timings.values()), 3)
     # FROZEN round-2 query set: the cross-round-comparable subtotal must
@@ -196,6 +253,26 @@ def main() -> None:
     }
     r2_comparable = round(
         sum(v for k, v in timings.items() if k in R2_SET), 3
+    )
+    # per-query normalization: each query segment uses the MEAN host
+    # speed of its two bracketing calibration samples (kg walls ran
+    # between pre_jvm and post_kg; everything else between post_kg and
+    # post_suite).  normalized_sec = raw * host_speed_vs_ref, i.e. what
+    # the wall would read on the pinned-reference host.
+    speeds = {s["at"]: s["host_speed_vs_ref"] for s in cal_samples}
+    seg_speed = {
+        "kg": (speeds["pre_jvm"] + speeds["post_kg"]) / 2.0,
+        "rest": (speeds["post_kg"] + speeds["post_suite"]) / 2.0,
+    }
+    queries_normalized = {
+        k: round(
+            v * (seg_speed["kg"] if k == "kg_pipeline" else seg_speed["rest"]),
+            3,
+        )
+        for k, v in timings.items()
+    }
+    r2_comparable_normalized = round(
+        sum(v for k, v in queries_normalized.items() if k in R2_SET), 3
     )
     print(
         json.dumps(
@@ -214,9 +291,9 @@ def main() -> None:
                     "ref_sec": HOST_CAL_REF_SEC,
                     "host_speed_vs_ref": round(HOST_CAL_REF_SEC / host_cal, 3),
                 },
-                "r2_comparable_normalized_sec": round(
-                    r2_comparable * HOST_CAL_REF_SEC / host_cal, 3
-                ),
+                "host_calibration_samples": cal_samples,
+                "queries_normalized_sec": queries_normalized,
+                "r2_comparable_normalized_sec": r2_comparable_normalized,
                 "cpus": int(CPUS),
             }
         )

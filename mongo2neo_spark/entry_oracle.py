@@ -816,9 +816,12 @@ def kcore_sql(k: int = 3) -> str:
 # sequence-packing replica
 # ---------------------------------------------------------------------------
 def _oracle_token_count(text) -> int:
+    """Replica of operators.text.token_count — the SAME explicit ASCII
+    non-space class (Python's Unicode `\\S` would over-split on NBSP
+    etc. relative to Java's ASCII `\\s`, see ASCII_NONSPACE_PATTERN)."""
     import re
 
-    return len(re.findall(r"\S+", text or ""))
+    return len(re.findall("[^ \t\n\x0B\f\r]+", text or ""))
 
 
 def pack_rows(

@@ -41,6 +41,31 @@ from pyspark.sql import DataFrame, functions as F
 
 from .cc import _materialize
 
+# ---------------------------------------------------------------------------
+# Broadcast-venue memory envelope.
+#
+# The size-adaptive venues below broadcast edge- or node-sized relations.
+# A broadcast HashedRelation costs far more than the raw column bytes:
+# per row there's an UnsafeRow (two/three int64 fields + header) plus
+# the LongToUnsafeRowMap slot, ~64 bytes for a 2-column bigint edge row
+# and ~80 for a 3-column node row in practice.  The venue gates are
+# therefore expressed as a BYTE budget per broadcast relation and
+# converted to row thresholds with those widths — NOT a bare row count
+# whose real memory footprint nobody computed (a 10M-edge gate means a
+# >600 MB relation per executor, an OOM on modest executors even though
+# results stay correct).  Per-plan peak = budget x (number of broadcast
+# relations in the venue): triangle_counts broadcasts 2 edge legs,
+# pagerank/label_propagation 2 node-sized sides per iterate,
+# link_prediction one 2x-edge sym side (its gate counts the doubled
+# rows).  Callers with big executors can raise the row thresholds
+# explicitly; the defaults keep each relation <= ~256 MB.
+# ---------------------------------------------------------------------------
+BROADCAST_BUDGET_BYTES = 256 << 20
+BROADCAST_EDGE_ROW_BYTES = 64
+BROADCAST_NODE_ROW_BYTES = 80
+DEFAULT_BROADCAST_MAX_EDGES = BROADCAST_BUDGET_BYTES // BROADCAST_EDGE_ROW_BYTES  # 4M rows
+DEFAULT_BROADCAST_MAX_NODES = BROADCAST_BUDGET_BYTES // BROADCAST_NODE_ROW_BYTES  # ~3.3M rows
+
 
 # ---------------------------------------------------------------------------
 # co-occurrence edge construction
@@ -145,7 +170,7 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
 
 def triangle_counts(
     edges: DataFrame,
-    broadcast_max_edges: int = 10_000_000,
+    broadcast_max_edges: int = DEFAULT_BROADCAST_MAX_EDGES,
 ) -> DataFrame:
     """Per-node triangle counts over canonical undirected (s1 < s2) edges.
 
@@ -160,8 +185,9 @@ def triangle_counts(
 
     Venue choice (size-adaptive, same discipline as the ANN query
     venues): when the oriented edge set fits a broadcast
-    (``m <= broadcast_max_edges``, ~16 bytes/edge before HashedRelation
-    overhead) BOTH closing legs broadcast and the whole count collapses
+    (``m <= broadcast_max_edges``, byte-budgeted — see
+    BROADCAST_BUDGET_BYTES; two legs broadcast, so the per-plan peak is
+    2x the budget) BOTH closing legs broadcast and the whole count collapses
     to ONE stage — a scan of the oriented edges probing two in-memory
     relations, wedges streaming straight into the closing probe and the
     partial count without ever materializing.  The shuffle plan
@@ -295,7 +321,7 @@ def pagerank_integer(
     iters: int = 10,
     damping_num: int = 17,
     damping_den: int = 20,
-    broadcast_max_nodes: int = 2_000_000,
+    broadcast_max_nodes: int = DEFAULT_BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """PageRank over the UNDIRECTED graph in exact integer arithmetic.
 
@@ -311,8 +337,10 @@ def pagerank_integer(
     Scale: adjacency is hash-partitioned on src once (AQE-sized, with
     the parallelismFirst floor guaranteeing at least cluster
     parallelism) and persisted.  When the node
-    count fits a broadcast (``n <= broadcast_max_nodes``, ~24
-    bytes/node) the per-iteration rank and degree joins broadcast the
+    count fits a broadcast (``n <= broadcast_max_nodes``,
+    byte-budgeted via BROADCAST_NODE_ROW_BYTES; rank + degree sides
+    make the per-iterate peak 2x the budget) the per-iteration rank
+    and degree joins broadcast the
     node-sized side — each round is then ONE scan of the persisted
     adjacency plus the contribution aggregation, whose map-side
     partial agg reduces edge-count rows to node-count rows (the
@@ -334,6 +362,13 @@ def pagerank_integer(
     adj = _materialize(sym.repartition("src"))
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
+    if n == 0:
+        # empty graph: no nodes to rank; the base/initial-rank integer
+        # divisions below would raise ZeroDivisionError
+        adj.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node bigint, rank bigint"
+        )
     bcast = n <= broadcast_max_nodes
     # in the broadcast venue the rank table is node-sized and driver-
     # known-small, but localCheckpoint materializes at the full shuffle
@@ -431,7 +466,7 @@ def k_core(edges: DataFrame, k: int) -> DataFrame:
 def link_prediction(
     edges: DataFrame,
     min_common: int = 2,
-    broadcast_max_edges: int = 10_000_000,
+    broadcast_max_edges: int = DEFAULT_BROADCAST_MAX_EDGES,
 ) -> DataFrame:
     """Non-adjacent node pairs ranked by shared neighbors.
 
@@ -456,7 +491,9 @@ def link_prediction(
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    bcast = und.count() <= broadcast_max_edges
+    # the broadcast side is the SYMMETRIZED frame (2m rows), so the
+    # byte-budget gate counts the doubled rows, not the canonical m
+    bcast = 2 * und.count() <= broadcast_max_edges
     sym = und.select(
         F.col("s1").alias("mid"), F.col("s2").alias("end")
     ).unionAll(
@@ -508,7 +545,7 @@ def link_prediction(
 def label_propagation(
     edges: DataFrame,
     iters: int = 5,
-    broadcast_max_nodes: int = 2_000_000,
+    broadcast_max_nodes: int = DEFAULT_BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """Community labels by SYNCHRONOUS label propagation (Raghavan et
     al. 2007), made fully deterministic: every node starts with its own

@@ -36,31 +36,88 @@ PACK_SCHEMA = (
 )
 
 
+class _FirstFitTree:
+    """Leftmost-first-fit over open-sequence remaining capacities in
+    O(log n) per query/update — a max segment tree indexed by sequence
+    id.  This preserves EXACT first-fit-by-index semantics (a
+    capacity-sorted bisect would silently turn first-fit into best-fit:
+    under FFD the open capacities are not monotone — budget 10, docs
+    6,5,4 leave rooms [4,5]), while removing the O(docs x open-seqs)
+    linear scan that made single-bucket cost quadratic and forced the
+    "raise n_buckets" discipline.
+
+    Leaves are preallocated to the bucket's doc count (the worst case:
+    every doc opens a sequence); unopened leaves hold -1 so a 0-token
+    doc still prefers the lowest OPEN sequence (room >= 0), exactly as
+    the linear scan did — overflow singletons are opened with room 0
+    for the same reason.
+    """
+
+    __slots__ = ("size", "tree", "n_open")
+
+    def __init__(self, max_seqs: int):
+        size = 1
+        while size < max(max_seqs, 1):
+            size *= 2
+        self.size = size
+        self.tree = [-1] * (2 * size)
+        self.n_open = 0
+
+    def set_room(self, seq: int, room: int) -> None:
+        t = self.tree
+        j = self.size + seq
+        t[j] = room
+        j //= 2
+        while j:
+            left, right = t[2 * j], t[2 * j + 1]
+            t[j] = left if left >= right else right
+            j //= 2
+
+    def open_seq(self, room: int) -> int:
+        s = self.n_open
+        self.n_open += 1
+        self.set_room(s, room)
+        return s
+
+    def first_fit(self, need: int) -> int:
+        """Lowest sequence index with room >= need, else -1."""
+        t = self.tree
+        if t[1] < need:
+            return -1
+        j = 1
+        while j < self.size:
+            j *= 2
+            if t[j] < need:
+                j += 1
+        return j - self.size
+
+    def room(self, seq: int) -> int:
+        return self.tree[self.size + seq]
+
+
 def _pack_bucket(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
-    """First-fit-decreasing over one bucket's (doc_id, n_tokens) rows."""
+    """First-fit-decreasing over one bucket's (doc_id, n_tokens) rows;
+    O(n log n) via the leftmost-fit segment tree."""
     rows = sorted(
         zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist()),
         key=lambda r: (-r[1], r[0]),
     )
-    seq_room: list[int] = []  # remaining budget per open sequence
+    budget = int(budget)
+    fits = _FirstFitTree(len(rows))
     out = []
     bucket = int(pdf["bucket"].iloc[0])
     for doc_id, n_tok in rows:
         n_tok = int(n_tok)
-        if n_tok > int(budget):
-            seq_room.append(0)  # singleton, no room left
-            out.append((int(doc_id), bucket, len(seq_room) - 1, n_tok, True))
+        if n_tok > budget:
+            s = fits.open_seq(0)  # singleton, no room left
+            out.append((int(doc_id), bucket, s, n_tok, True))
             continue
-        placed = False
-        for s, room in enumerate(seq_room):
-            if room >= n_tok:
-                seq_room[s] = room - n_tok
-                out.append((int(doc_id), bucket, s, n_tok, False))
-                placed = True
-                break
-        if not placed:
-            seq_room.append(int(budget) - n_tok)
-            out.append((int(doc_id), bucket, len(seq_room) - 1, n_tok, False))
+        s = fits.first_fit(n_tok)
+        if s >= 0:
+            fits.set_room(s, fits.room(s) - n_tok)
+        else:
+            s = fits.open_seq(budget - n_tok)
+        out.append((int(doc_id), bucket, s, n_tok, False))
     return pd.DataFrame(
         out, columns=["doc_id", "bucket", "seq_id", "n_tokens", "overflow"]
     )

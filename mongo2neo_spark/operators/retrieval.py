@@ -25,6 +25,7 @@ score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -38,6 +39,31 @@ TOKEN_SPLIT_PATTERN = r"[^a-z0-9]+"
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
+
+
+def normalize_query_terms(query_terms: Sequence[str]) -> list:
+    """Run raw query terms through the SAME tokenizer the corpus gets
+    (lowercase, split on runs of non-[a-z0-9], drop empties) and return
+    the sorted distinct token list.
+
+    Without this an uppercase or punctuated term ("Spark", "map-reduce")
+    would silently never match the lowercased corpus tokens — the query
+    and the corpus must pass through one tokenizer.  A multi-token term
+    contributes each of its tokens.  Raises ValueError when nothing
+    tokenizable remains (an empty term set would otherwise leave the
+    score column NULL and crash downstream arithmetic).
+    """
+    out = set()
+    for t in query_terms:
+        for tok in re.split("[^a-z0-9]+", str(t).lower()):
+            if tok:
+                out.add(tok)
+    if not out:
+        raise ValueError(
+            "query_terms contains no tokenizable terms under the "
+            f"corpus tokenizer (split on {TOKEN_SPLIT_PATTERN!r})"
+        )
+    return sorted(out)
 
 
 def tokens_col(text_col) -> Column:
@@ -62,9 +88,11 @@ def bm25_topk(
     Returns (id_col, score_micro, dl, n_matched) ordered by
     (score desc, id asc) — the integer id tie-break keeps the LIMIT cut
     deterministic.  Docs matching no query term are excluded (their
-    score is exactly 0).
+    score is exactly 0).  Terms are normalized through the corpus
+    tokenizer (see :func:`normalize_query_terms`); an untokenizable
+    query raises ValueError.
     """
-    terms = sorted(set(query_terms))
+    terms = normalize_query_terms(query_terms)
 
     # closure factory, NOT a default-arg lambda: pyspark treats a
     # 2-parameter lambda as (element, index)
@@ -122,6 +150,157 @@ def bm25_topk(
         .orderBy(F.desc("score_micro"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_topk_tokenjoin(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k for WIDE queries via a query-term table join.
+
+    :func:`bm25_topk` compiles one column per query term — the right
+    plan for bag-of-words queries of a handful of terms, but the
+    projection (and the codegen'd scoring expression) grows linearly
+    with query width and bloats past a few dozen terms.  This variant
+    scales to arbitrarily wide queries: tokenize the corpus once,
+    ``explode`` the tokens, inner-join a BROADCAST table of the
+    normalized query terms (the filter runs map-side — unmatched
+    occurrences never reach a shuffle), and aggregate per (doc, term).
+    The only corpus-scale exchange is that single token-keyed
+    (id, term) aggregation over MATCHED occurrences; document
+    frequencies and the final per-doc rollup aggregate the matched
+    stream again (query-result-sized), and the collection stats are the
+    same 1-row broadcast agg as the narrow path.
+
+    Hash-stability: with a term-keyed plan the per-doc sum order is not
+    fixed by column position, so each term's float contribution is
+    quantized to integer micro-units BEFORE the per-doc int64 sum
+    (summation-order-proof — the SURVEY §5 discipline).  Scores
+    therefore differ from :func:`bm25_topk` by at most #terms/2 micro
+    units (round-then-sum vs sum-then-round); the SQL mirror
+    (:func:`bm25_tokenjoin_sql`) quantizes identically.
+
+    Returns (id_col, score_micro, dl, n_matched) ordered by
+    (score desc, id asc), cut at ``k``; docs matching no term are
+    excluded.
+    """
+    terms = normalize_query_terms(query_terms)
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    toks = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks")
+    ).select(id_col, F.size("_toks").alias("dl"), "_toks")
+    # collection stats: 1 row, map-side partial agg, broadcast back
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sum_dl")
+    )
+    matched = (
+        toks.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(qdf), "term")
+    )
+    tf = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.max("dl").alias("dl")
+    )
+    # document frequency as a WINDOW count over the tf rows (one row
+    # per (doc, term), so rows-per-term == df): a separate
+    # tf.groupBy("term") aggregation would be a second SUBTREE that
+    # re-explodes and re-shuffles the whole corpus (no exchange reuse
+    # across differing attribute ids) — the window keeps the plan to
+    # exactly one corpus-token exchange, plus a matched-rows-only
+    # term exchange for the window itself
+    from pyspark.sql import Window
+
+    tf = tf.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    scored = tf.join(F.broadcast(stats))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    tfd = F.col("_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n").cast("double") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    part_micro = (
+        F.round(idf * tfd * F.lit(k1 + 1.0) / (tfd + norm) * F.lit(1_000_000.0))
+        .cast("bigint")
+    )
+    return (
+        scored.select(id_col, "dl", part_micro.alias("_pm"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_pm").alias("score_micro"),
+            F.max("dl").alias("dl"),
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+        )
+        .select(id_col, "score_micro", "dl", "n_matched")
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bm25_tokenjoin_sql(
+    table: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk_tokenjoin` — same tokenizer,
+    same float association, same round-per-term-then-int-sum
+    quantization."""
+    terms = [t.replace("'", "''") for t in normalize_query_terms(query_terms)]
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+    list_filter(string_split_regex(lower(coalesce({text_col}, '')),
+                                   '{TOKEN_SPLIT_PATTERN}'),
+                x -> x <> '') AS _toks
+  FROM {table}
+), dls AS (
+  SELECT {id_col}, len(_toks) AS dl, _toks FROM toks
+), stats AS (
+  SELECT COUNT(*) AS _n, SUM(dl) AS _sum_dl FROM dls
+), q AS (
+  SELECT unnest([{term_list}]) AS term
+), ex AS (
+  SELECT {id_col}, dl, unnest(_toks) AS term FROM dls
+), tf AS (
+  SELECT ex.{id_col}, ex.term, MAX(ex.dl) AS dl, COUNT(*) AS _tf
+  FROM ex JOIN q ON ex.term = q.term
+  GROUP BY ex.{id_col}, ex.term
+), dfs AS (
+  SELECT term, COUNT(*) AS _df FROM tf GROUP BY term
+), parts AS (
+  SELECT tf.{id_col}, tf.dl,
+    CAST(round(
+      ln(1.0 + (CAST(_n AS DOUBLE) - _df + 0.5) / (_df + 0.5))
+      * CAST(_tf AS DOUBLE) * {k1 + 1.0!r}
+      / (CAST(_tf AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r}
+         * CAST(tf.dl AS DOUBLE)
+         / (CAST(_sum_dl AS DOUBLE) / CAST(_n AS DOUBLE))))
+      * 1000000.0) AS BIGINT) AS _pm
+  FROM tf JOIN dfs ON tf.term = dfs.term, stats
+)
+SELECT {id_col}, SUM(_pm) AS score_micro, MAX(dl) AS dl,
+       CAST(COUNT(*) AS INTEGER) AS n_matched
+FROM parts
+GROUP BY {id_col}
+ORDER BY score_micro DESC, {id_col} ASC
+LIMIT {k}
+"""
 
 
 def chunk_documents(
@@ -215,7 +394,12 @@ def rrf_fuse(
     candidate lists — the standard hybrid-retrieval combiner for a
     sparse (BM25) and a dense (embedding cosine) ranker.
 
-    Each input is (id_col, rank_col) with 1-based ranks.  Contribution
+    Each input is (id_col, rank_col) with 1-based ranks; CONTRACT: each
+    id should appear at most once per list.  A ranker that emits
+    duplicate ids would otherwise multiply rows through the full-outer
+    join and double-count contributions, so each side is defensively
+    collapsed to its BEST (minimum) rank per id first — a no-op on
+    well-formed input, deterministic on malformed input.  Contribution
     of each list is round(1e6 / (k_rrf + rank)) in integer micro-units
     (one double division + one round — hash-stable across engines);
     absent ids contribute 0.  Both inputs are top-k lists (tiny), so the
@@ -225,11 +409,19 @@ def rrf_fuse(
     Returns (id_col, rrf_micro, rank_a, rank_b) ordered by
     (rrf_micro desc, id asc), cut at ``k``.
     """
-    a = ranked_a.select(
-        F.col(id_col), F.col(rank_col).cast("long").alias("rank_a")
+    a = (
+        ranked_a.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias("rank_a")
+        )
+        .groupBy(id_col)
+        .agg(F.min("rank_a").alias("rank_a"))
     )
-    b = ranked_b.select(
-        F.col(id_col), F.col(rank_col).cast("long").alias("rank_b")
+    b = (
+        ranked_b.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias("rank_b")
+        )
+        .groupBy(id_col)
+        .agg(F.min("rank_b").alias("rank_b"))
     )
     f = a.join(b, on=id_col, how="full_outer")
 
@@ -264,8 +456,11 @@ def bm25_sql(
     id_col: str = "doc_id",
 ) -> str:
     """The equivalent ANSI/DuckDB SQL, mirroring the Spark expression
-    term-for-term (same association of the float arithmetic)."""
-    terms = sorted(set(query_terms))
+    term-for-term (same association of the float arithmetic).  Terms go
+    through the same :func:`normalize_query_terms` as the engine side;
+    normalized terms are [a-z0-9]+ so they cannot break out of the SQL
+    string literal, and the quote-escape below is pure defense."""
+    terms = [t.replace("'", "''") for t in normalize_query_terms(query_terms)]
     tf_cols = ",\n    ".join(
         f"len(list_filter(_toks, x -> x = '{t}')) AS _tf_{i}"
         for i, t in enumerate(terms)

@@ -18,11 +18,20 @@ from pyspark.sql.functions import pandas_udf
 
 from ..functions import hashing
 
-# whitespace tokens
+# Whitespace tokens.  The class is spelled out (not `\S`) because the
+# three engines disagree on what `\s` means: Java's default `\s` is the
+# 6-char ASCII set, RE2's omits \x0B, and Python's is full Unicode (so
+# NBSP would split a token only in the pure-Python oracle).  One
+# explicit ASCII class makes Spark == DuckDB == Python by construction;
+# the replica (entry_oracle._oracle_token_count) and the SQL mirrors
+# use this same literal.
+ASCII_NONSPACE_PATTERN = r"[^ \t\n\x0B\f\r]+"
+
+
 def token_count(col) -> Column:
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
-    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
-        F.size(F.split(c, r"\s+"))
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return F.size(
+        F.regexp_extract_all(c, F.lit(ASCII_NONSPACE_PATTERN), F.lit(0))
     )
 
 

@@ -232,6 +232,182 @@ class TestRRF:
         got = self._fuse(spark, la, lb)
         assert got[0][0] == 2  # present in both lists
 
+    def test_duplicate_ids_collapse_to_best_rank(self, spark):
+        # a malformed ranker emitting id 1 twice must contribute ONCE,
+        # at its best (min) rank — not multiply rows through the join
+        la = [(1, 3), (1, 1), (2, 2)]
+        lb = [(2, 1), (2, 5)]
+        got = self._fuse(spark, la, lb)
+        assert got == _py_rrf([(1, 1), (2, 2)], [(2, 1)])
+        assert len(got) == len({g[0] for g in got})
+
+
+class TestBM25TokenJoin:
+    """Wide-query BM25 via the query-term-table join path."""
+
+    WIDE = ["spark", "window", "table", "parts", "orders", "of"] + [
+        f"absent{i}" for i in range(50)
+    ]
+
+    @staticmethod
+    def _py_tokenjoin(docs, terms, k1=1.2, b=0.75):
+        """Round-per-term-then-int-sum reference (differs from _py_bm25
+        only in quantization order)."""
+        import re
+
+        toks = {
+            i: [t for t in re.split(r"[^a-z0-9]+", (txt or "").lower()) if t]
+            for i, txt in docs
+        }
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        out = {}
+        for i, tk in toks.items():
+            dl = len(tk)
+            sm = 0
+            matched = 0
+            for t in sorted(set(terms)):
+                tf = float(tk.count(t))
+                if tf == 0:
+                    continue
+                df = sum(1 for v in toks.values() if t in v)
+                idf = math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+                part = idf * tf * (k1 + 1.0) / (
+                    tf + k1 * ((1.0 - b) + b * float(dl) / avgdl)
+                )
+                sm += int(round(part * 1_000_000.0))
+                matched += 1
+            if matched:
+                out[i] = (sm, dl, matched)
+        return out
+
+    def test_matches_python_reference_exactly(self, spark):
+        from mongo2neo_spark.operators.retrieval import bm25_topk_tokenjoin
+
+        df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.score_micro, r.dl, r.n_matched)
+            for r in bm25_topk_tokenjoin(df, self.WIDE, k=10).collect()
+        }
+        assert got == self._py_tokenjoin(DOCS, self.WIDE)
+
+    def test_sql_mirror_agrees(self, spark):
+        duckdb = pytest.importorskip("duckdb")
+        import pandas as pd
+
+        from mongo2neo_spark.operators.retrieval import (
+            bm25_tokenjoin_sql,
+            bm25_topk_tokenjoin,
+        )
+
+        df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+        got = sorted(
+            tuple(r)
+            for r in bm25_topk_tokenjoin(df, self.WIDE, k=10).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(DOCS, columns=["doc_id", "text"]),
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                bm25_tokenjoin_sql("documents", self.WIDE, k=10)
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_single_corpus_token_exchange(self, spark):
+        # the plan audit VERDICT asked for: the exploded corpus token
+        # stream must hit exactly ONE hash exchange (the (doc, term)
+        # aggregation); the term filter is a broadcast join BEFORE it,
+        # and everything downstream is matched/query-result-sized
+        from mongo2neo_spark.operators.retrieval import bm25_topk_tokenjoin
+
+        df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+        plan = (
+            bm25_topk_tokenjoin(df, self.WIDE, k=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # term membership runs as broadcast join, never a shuffle join
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+        # exactly one exchange partitions on the token/term column
+        # together with the doc id (the matched-occurrence agg); the
+        # df-per-term and per-doc aggs repartition matched rows only
+        import re as _re
+
+        tok_ex = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "term" in ln and "doc_id" in ln
+        ]
+        assert len(tok_ex) == 1, plan
+
+    def test_narrow_and_wide_paths_agree_to_quantization(self, spark):
+        # same ranking, scores within #terms/2 micro units
+        from mongo2neo_spark.operators.retrieval import (
+            bm25_topk,
+            bm25_topk_tokenjoin,
+        )
+
+        df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+        terms = ["spark", "window", "table"]
+        narrow = {
+            r.doc_id: r.score_micro
+            for r in bm25_topk(df, terms, k=10).collect()
+        }
+        wide = {
+            r.doc_id: r.score_micro
+            for r in bm25_topk_tokenjoin(df, terms, k=10).collect()
+        }
+        assert set(narrow) == set(wide)
+        for i in narrow:
+            assert abs(narrow[i] - wide[i]) <= len(terms)
+
+
+class TestBM25QueryValidation:
+    def _df(self, spark):
+        return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+    def test_empty_query_raises(self, spark):
+        from mongo2neo_spark.operators.retrieval import bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk(self._df(spark), [], k=5)
+
+    def test_untokenizable_query_raises(self, spark):
+        from mongo2neo_spark.operators.retrieval import bm25_sql, bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk(self._df(spark), ["!!!", "  ", "---"], k=5)
+        with pytest.raises(ValueError):
+            bm25_sql("documents", ["''"])
+
+    def test_terms_normalized_like_corpus(self, spark):
+        # uppercase / punctuated terms tokenize exactly like the corpus:
+        # "Spark!" -> spark, "Window-Table" -> window + table
+        from mongo2neo_spark.operators.retrieval import bm25_topk
+
+        df = self._df(spark)
+        raw = {
+            r.doc_id: (r.score_micro, r.dl, r.n_matched)
+            for r in bm25_topk(
+                df, ["Spark!", "Window-Table"], k=10
+            ).collect()
+        }
+        assert raw == _py_bm25(DOCS, ["spark", "window", "table"])
+
+    def test_sql_mirror_normalizes_and_escapes(self):
+        from mongo2neo_spark.operators.retrieval import bm25_sql
+
+        sql = bm25_sql("documents", ["Spark's", "JOIN"])
+        # normalized to [a-z0-9] tokens; the apostrophe can't survive
+        assert "x = 'spark'" in sql and "x = 's'" in sql
+        assert "x = 'join'" in sql
+        assert "Spark" not in sql
+
 
 class TestUnigramLM:
     DOCS = [

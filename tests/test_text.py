@@ -20,6 +20,48 @@ def test_token_count(spark):
     assert out == {0: 3, 1: 2, 2: 0, 3: 1}
 
 
+def test_token_count_three_engine_parity(spark):
+    """The explicit ASCII non-space class must count identically in
+    Spark (Java regex), DuckDB (RE2), and the pure-Python replica —
+    including leading tabs/newlines, NBSP (NOT whitespace in the ASCII
+    class, unlike Python's Unicode \\S), vertical tab, and NULL text."""
+    import duckdb
+
+    from mongo2neo_spark.entry_oracle import _oracle_token_count
+
+    texts = [
+        "\na b",            # leading newline: 2 (old Spark split said 3)
+        "\t\t",             # only ASCII whitespace: 0
+        "a\u00a0b",        # NBSP joins -> 1 token on every engine
+        "a\x0bb c",         # vertical tab is whitespace -> 3
+        "  x  ",
+        "",
+        None,
+        "plain text here",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    spark_n = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", textops.token_count("text").alias("n")
+        ).collect()
+    }
+    py_n = {i: _oracle_token_count(t) for i, t in enumerate(texts)}
+    con = duckdb.connect()
+    duck_n = dict(
+        con.execute(
+            "SELECT i, LEN(regexp_extract_all(coalesce(t, ''),"
+            " '[^ \t\n\x0B\f\r]+')) FROM (SELECT unnest(range(8)) i,"
+            " unnest($1::VARCHAR[]) t)",
+            [texts],
+        ).fetchall()
+    )
+    assert spark_n == py_n == duck_n
+    assert spark_n[0] == 2 and spark_n[2] == 1 and spark_n[3] == 3
+
+
 def test_bpe_ish_token_count(spark):
     df = _docs(spark, ["hello, world! 42", "a-b"])
     out = {r.doc_id: r.n for r in
