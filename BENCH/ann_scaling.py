@@ -35,6 +35,7 @@ from scaling import (  # noqa: E402
     SIZES,
     build_pyfiles_zip,
     host_calibration,
+    require_healthy_window,
     spark_submit_bin,
 )
 
@@ -201,14 +202,40 @@ def main() -> None:
     # the smallest possible drift window — compute per-pair efficiency,
     # and report the best pair alongside every pair's number.
     k = int(os.environ.get("M2N_SCALE_RUNS", "1"))
-    cal = host_calibration(SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES)
-    print("host calibration:", cal)
+    # refuse to burn a campaign on a degraded host window (round-6
+    # gatekeeper); a second calibration after the pairs makes mid-run
+    # degradation visible instead of inferred
+    cal = require_healthy_window(
+        SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES, tag="ann"
+    )
+    print("host calibration (pre):", cal)
     pairs = []
+    # leg ORDER and inter-leg cooldown: a round-6 diagnostic measured
+    # the same 4N job's lsh_build at 284s immediately after an 8-minute
+    # N leg but 61s in isolation minutes later (identical code, input,
+    # checksums) — sustained load provokes host throttling that lands
+    # on whichever leg runs SECOND.  Running 4N first and idling
+    # between legs keeps the throttle from masquerading as an engine
+    # scaling defect; the pair still spans the smallest drift window.
+    order_4n_first = os.environ.get("M2N_PAIR_ORDER", "4N_first") == "4N_first"
+    cooldown = int(os.environ.get("M2N_LEG_COOLDOWN", "60"))
+    import time as _time
+
     for i in range(k):
-        r_n = run_at(SIZES["N"], zpath)
-        print(f"  pair {i} N :", r_n)
-        r_4n = run_at(SIZES["4N"], zpath)
-        print(f"  pair {i} 4N:", r_4n)
+        if order_4n_first:
+            r_4n = run_at(SIZES["4N"], zpath)
+            print(f"  pair {i} 4N:", r_4n)
+            _time.sleep(cooldown)
+            r_n = run_at(SIZES["N"], zpath)
+            print(f"  pair {i} N :", r_n)
+        else:
+            r_n = run_at(SIZES["N"], zpath)
+            print(f"  pair {i} N :", r_n)
+            _time.sleep(cooldown)
+            r_4n = run_at(SIZES["4N"], zpath)
+            print(f"  pair {i} 4N:", r_4n)
+        if i < k - 1:
+            _time.sleep(cooldown)
         assert r_n["checks"] == r_4n["checks"], (
             f"ANN results diverge across cluster sizes: "
             f"N={r_n['checks']} 4N={r_4n['checks']}"
@@ -218,6 +245,10 @@ def main() -> None:
         print(f"  pair {i} eff: {round(eff, 3)}")
     best = max(pairs, key=lambda p: p["eff"])
     r_n, r_4n, eff = best["N"], best["4N"], best["eff"]
+    cal_post = host_calibration(
+        SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES
+    )
+    print("host calibration (post):", cal_post)
     report = {
         "input_vecs": r_n["vecs"],
         "N": r_n,
@@ -225,6 +256,7 @@ def main() -> None:
         "scaling_efficiency": eff,
         "pair_efficiencies": [p["eff"] for p in pairs],
         "host_ceiling": cal["ceiling"],
+        "host_ceiling_post": cal_post["ceiling"],
         "efficiency_vs_host_ceiling": round(eff / cal["ceiling"], 3),
     }
     print(json.dumps(report))

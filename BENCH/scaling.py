@@ -102,6 +102,60 @@ def host_calibration(cores_a: int, cores_b: int) -> dict:
     return out
 
 
+def require_healthy_window(
+    cores_a: int,
+    cores_b: int,
+    min_ceiling: float = 0.9,
+    attempts: int = 4,
+    wait_s: int = 180,
+    tag: str = "",
+) -> dict:
+    """Campaign gatekeeper: measure the HOST's own a->b-core
+    scaling ceiling FIRST and refuse to start a campaign below
+    ``min_ceiling`` — round 5 burned both its ANN and graph campaigns
+    on windows where the hardware itself scaled at 0.655-0.706, so the
+    engine's raw numbers could never reach the 0.8 contract gate no
+    matter how good the plans were.  Retries ``attempts`` times,
+    ``wait_s`` apart (the VM's degradation comes and goes on a
+    minutes-to-hours cadence).  On success returns the accepted
+    calibration; on failure appends a ceiling-blocked record to
+    BENCH/ceiling_blocked.jsonl (the documented evidence the verdict
+    accepts in lieu of a raw reading) and exits 3.
+
+    Env overrides: M2N_MIN_CEILING, M2N_GATE_ATTEMPTS, M2N_GATE_WAIT.
+    """
+    import time as _time
+
+    min_ceiling = float(os.environ.get("M2N_MIN_CEILING", min_ceiling))
+    attempts = int(os.environ.get("M2N_GATE_ATTEMPTS", attempts))
+    wait_s = int(os.environ.get("M2N_GATE_WAIT", wait_s))
+    tried = []
+    for i in range(attempts):
+        cal = host_calibration(cores_a, cores_b)
+        tried.append(cal["ceiling"])
+        print(f"gatekeeper[{tag}] attempt {i}: host ceiling "
+              f"{cal['ceiling']} (need >= {min_ceiling})", flush=True)
+        if cal["ceiling"] >= min_ceiling:
+            return cal
+        if i < attempts - 1:
+            _time.sleep(wait_s)
+    rec = {
+        "ts": dt.datetime.now().isoformat(timespec="seconds"),
+        "campaign": tag,
+        "min_ceiling": min_ceiling,
+        "measured_ceilings": tried,
+        "cores": [cores_a, cores_b],
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ceiling_blocked.jsonl"
+    )
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"gatekeeper[{tag}]: BLOCKED — ceilings {tried} all below "
+          f"{min_ceiling}; recorded in {path}", flush=True)
+    raise SystemExit(3)
+
+
 def spark_submit_bin() -> str:
     import pyspark
 

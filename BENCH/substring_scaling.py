@@ -1,20 +1,20 @@
-"""N-vs-4N scaling evidence for the GRAPH-ANALYTICS operators
-(operators/graph.py: co-occurrence edge build, degree-ordered triangle
-counting, integer PageRank), mirroring the contamination study's
-interleaved-pair protocol:
+"""N-vs-4N scaling evidence for EXACT SUBSTRING DEDUP
+(operators.dedup.duplicated_window_profile / substring_dedup),
+mirroring the contamination study's interleaved-pair protocol:
 
     N  = local-cluster[1, 4, 6144]  (taskset-pinned to 4 cores)
     4N = local-cluster[4, 4, 6144]  (taskset-pinned to 16 cores)
 
-Same spark-submit --py-files job (BENCH/run_graph_job.py), same input
-(a deterministic skewed bipartite (group_id, item_id) table — item
-popularity follows an inverse-sqrt density with hub items, the regime
-the triangle orientation exists for); all three workload checksums are
-asserted identical across cluster sizes.  Results land in
-BENCH/graph_scaling.json and a marked section in BENCH/BASELINE.md.
+Same spark-submit --py-files job (BENCH/run_substring_job.py), same
+input (the curation study's synthetic corpus — 5% exact + 5% near
+duplicates guarantee real cross-document k-token spans), interleaved
+(N, 4N) pairs against host drift, campaign gated on a healthy host
+window (scaling.require_healthy_window); full result checksums
+(per-doc profile hash AND per-doc clean-text hash) asserted identical
+across cluster sizes.  Results land in BENCH/substring_scaling.json
+and a marked section in BENCH/BASELINE.md.
 
-Usage: python BENCH/graph_scaling.py [n_rows]   (default 10M rows =
-1M groups x 10 items over 100k distinct items)
+Usage: python BENCH/substring_scaling.py [n_docs]   (default 1M)
 """
 
 from __future__ import annotations
@@ -41,40 +41,24 @@ from scaling import (  # noqa: E402
     spark_submit_bin,
 )
 
-N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-ITEMS_PER_GROUP = 10
-N_ITEMS = max(1000, N_ROWS // 100)
-INPUT = f"/tmp/m2n_graph_cache/bipartite_{N_ROWS}"
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+INPUT = f"/tmp/m2n_curation_cache/documents_{N_DOCS}"
 
-SECTION_BEGIN = "<!-- GRAPH_SCALING_BEGIN -->"
-SECTION_END = "<!-- GRAPH_SCALING_END -->"
+SECTION_BEGIN = "<!-- SUBSTRING_SCALING_BEGIN -->"
+SECTION_END = "<!-- SUBSTRING_SCALING_END -->"
 
 
 def ensure_input() -> None:
-    """Deterministic skewed bipartite table, generated distributed and
-    written once; both cluster sizes read the same files, so workload
-    checksums are comparable by construction.
-
-    item = (v^2 * N_ITEMS) div 2^30 with v = xxhash64(id) mod 2^15 —
-    pure integer math (no float, no rand()), density ~ 1/sqrt(item):
-    item 0 is a genuine hub (~N_ROWS/sqrt(N_ITEMS) occurrences)."""
     if os.path.exists(f"{INPUT}/_SUCCESS"):
         return
-    from pyspark.sql import functions as F
-
+    from mongo2neo_spark.fixtures import generate_documents_distributed
     from mongo2neo_spark.session import get_spark
 
-    spark = get_spark(app_name="m2n-graph-gen", master="local[32]")
+    spark = get_spark(app_name="m2n-substr-gen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.range(N_ROWS).select(
-        F.expr(f"id div {ITEMS_PER_GROUP}").alias("group_id"),
-        F.expr(
-            f"(pmod(xxhash64(id), 32768) * pmod(xxhash64(id), 32768) "
-            f"* {N_ITEMS}L) div 1073741824"
-        ).alias("item_id"),
-    )
-    df.repartition(256).write.mode("overwrite").parquet(INPUT)
-    print("generated", spark.read.parquet(INPUT).count(), "rows ->", INPUT)
+    df = generate_documents_distributed(spark, N_DOCS, seed=42, partitions=256)
+    df.write.mode("overwrite").parquet(INPUT)
+    print("generated", spark.read.parquet(INPUT).count(), "docs ->", INPUT)
     spark.stop()
 
 
@@ -89,7 +73,7 @@ def run_at(n_execs: int, zpath: str) -> dict:
         "--conf", "spark.sql.shuffle.partitions=128",
         "--conf", "spark.local.dir=/dev/shm/m2n-spark-local",
         "--py-files", zpath,
-        os.path.join(REPO, "BENCH", "run_graph_job.py"),
+        os.path.join(REPO, "BENCH", "run_substring_job.py"),
         "--input", INPUT,
     ]
     env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
@@ -102,7 +86,7 @@ def run_at(n_execs: int, zpath: str) -> dict:
             r["cores"] = cores
             return r
     raise RuntimeError(
-        f"{n_execs}-executor graph run produced no RESULT:\n"
+        f"{n_execs}-executor substring run produced no RESULT:\n"
         f"{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
     )
 
@@ -119,25 +103,28 @@ def render_section(report: dict) -> str:
         for k in rn["walls"]
     }
     return f"""{SECTION_BEGIN}
-## Graph analytics (edges / triangles / pagerank) — N vs 4N executors
+## Exact substring dedup — N vs 4N executors
 
-{report['input_rows']:,} bipartite rows ({report['input_rows'] // 10:,}
-groups x 10 items, inverse-sqrt-skewed item popularity with hub items),
-weight>=2 threshold -> {rn['edges']:,} undirected edges.  Workloads:
-bounded per-group edge build, degree-ordered-orientation triangle
-counting (the hub items are the skew regime the orientation defuses),
-and 5 rounds of integer-exact PageRank on the persisted adjacency.
+{report['input_docs']:,} synthetic docs (curation corpus: 5% exact +
+5% near duplicates, Heaps vocabulary), k=8 token windows.  The
+Lee-et-al. sub-document recipe without the single-machine suffix
+array: one Arrow fingerprint pass, (fp, id) aggregation, count(*)
+window for distinct-doc gating, exact-gram verify, min-id keeper —
+NO pairwise join, so the family is cap-free by construction and this
+campaign measures whether its two window-keyed linear shuffles
+actually scale.
 
-| cluster | cores | wall (s) | edges_build | triangles | pagerank |
-|---|---|---|---|---|---|
-| N  | {cn} | {wn} | {rn['walls']['edges_build']} | {rn['walls']['triangles']} | {rn['walls']['pagerank']} |
-| 4N | {c4} | {w4} | {r4['walls']['edges_build']} | {r4['walls']['triangles']} | {r4['walls']['pagerank']} |
+| cluster | cores | wall (s) | profile | dedup |
+|---|---|---|---|---|
+| N  | {cn} | {wn} | {rn['walls']['profile']} | {rn['walls']['dedup']} |
+| 4N | {c4} | {w4} | {r4['walls']['profile']} | {r4['walls']['dedup']} |
 
 **Scaling efficiency {report['scaling_efficiency']}** (host ceiling
-this run {report['host_ceiling']}, normalized
-{report['efficiency_vs_host_ceiling']}); per-workload {per};
-pair efficiencies {report.get('pair_efficiencies')}.  All three
-checksums asserted identical at both sizes.  Two-point decomposition
+pre {report['host_ceiling']} / post {report['host_ceiling_post']},
+normalized {report['efficiency_vs_host_ceiling']}); per-workload
+{per}; pair efficiencies {report.get('pair_efficiencies')}.  Both
+workload checksums (per-doc profile hash AND per-doc clean-text hash)
+asserted identical at both sizes.  Two-point decomposition
 T(p) = a/p + b: a = {round(a):,} core-s, b = {round(b, 1)} s
 (10x-input projection {proj}).  Measured {dt.date.today().isoformat()}.
 {SECTION_END}"""
@@ -163,11 +150,8 @@ def main() -> None:
     ensure_input()
     zpath = build_pyfiles_zip()
     k = int(os.environ.get("M2N_SCALE_RUNS", "1"))
-    # refuse to burn a campaign on a degraded host window (round-6
-    # gatekeeper); a second calibration after the pairs makes mid-run
-    # degradation visible instead of inferred
     cal = require_healthy_window(
-        SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES, tag="graph"
+        SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES, tag="substring"
     )
     print("host calibration (pre):", cal)
     pairs = []
@@ -177,7 +161,7 @@ def main() -> None:
         r_4n = run_at(SIZES["4N"], zpath)
         print(f"  pair {i} 4N:", r_4n)
         assert r_n["checks"] == r_4n["checks"], (
-            f"graph results diverge across cluster sizes: "
+            f"substring results diverge across cluster sizes: "
             f"N={r_n['checks']} 4N={r_4n['checks']}"
         )
         eff = (r_n["wall_sec"] / r_4n["wall_sec"]) / 4.0
@@ -189,17 +173,19 @@ def main() -> None:
     )
     print("host calibration (post):", cal_post)
     report = {
-        "input_rows": best["N"]["rows"],
+        "input_docs": best["N"]["docs"],
         "N": best["N"],
         "4N": best["4N"],
         "scaling_efficiency": best["eff"],
         "pair_efficiencies": [p["eff"] for p in pairs],
         "host_ceiling": cal["ceiling"],
         "host_ceiling_post": cal_post["ceiling"],
-        "efficiency_vs_host_ceiling": round(best["eff"] / cal["ceiling"], 3),
+        "efficiency_vs_host_ceiling": round(
+            best["eff"] / cal["ceiling"], 3
+        ),
     }
     print(json.dumps(report))
-    with open(os.path.join(BENCH_DIR, "graph_scaling.json"), "w") as f:
+    with open(os.path.join(BENCH_DIR, "substring_scaling.json"), "w") as f:
         json.dump(report, f, indent=2)
     write_section(report)
 
