@@ -193,6 +193,16 @@ def main() -> None:
         "stats broadcast back, TakeOrderedAndProject)"
     ] = plan_of(ret_mod.bm25_topk(docs, ("spark", "join"), k=10))
     sections[
+        "bm25 wide-query token-join (explode once, broadcast term "
+        "filter map-side, ONE (doc,term) exchange, window df, "
+        "per-term micro quantization)"
+    ] = plan_of(
+        ret_mod.bm25_topk_tokenjoin(
+            docs, tuple(f"t{i}" for i in range(50)) + ("spark", "join"),
+            k=10,
+        )
+    )
+    sections[
         "rag chunking (sequence -> posexplode -> slice: pure map-side, "
         "ZERO exchanges)"
     ] = plan_of(ret_mod.chunk_documents(docs, window=32, stride=24))
