@@ -1628,6 +1628,16 @@ def bm25_widequery_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by smoothed TF-IDF: one corpus
+    (doc, term) exchange, window document frequency, 1-row doc-count
+    broadcast, literal-bound rank window (partial WindowGroupLimit
+    pushes map-side).  Integer micro scores, term-asc tie-break."""
+    from mongo2neo_spark.operators.retrieval import tfidf_topk_terms
+
+    return tfidf_topk_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping token-window chunking of the documents
     table (window=32, stride=24): pure map-side sequence/posexplode/
@@ -1848,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_parts": label_propagation_parts,
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_widequery_documents": bm25_widequery_documents,
+        "tfidf_keywords_documents": tfidf_keywords_documents,
         "chunk_documents_rag": chunk_documents_rag,
         "unigram_logprob_documents": unigram_logprob_documents,
         "hybrid_rrf_documents": hybrid_rrf_documents,
@@ -1928,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_parts": _eo().label_propagation_sql(),
         "bm25_topk_documents": _bm25_sql(),
         "bm25_widequery_documents": _bm25_widequery_sql(),
+        "tfidf_keywords_documents": _tfidf_sql(),
         "chunk_documents_rag": _chunk_sql(),
         "unigram_logprob_documents": _unigram_sql(),
         "hybrid_rrf_documents": _hybrid_rrf_sql(),
@@ -1953,6 +1965,12 @@ def _bm25_widequery_sql() -> str:
     from mongo2neo_spark.operators.retrieval import bm25_tokenjoin_sql
 
     return bm25_tokenjoin_sql("documents", BM25_WIDE_QUERY_TERMS, k=25)
+
+
+def _tfidf_sql() -> str:
+    from mongo2neo_spark.operators.retrieval import tfidf_topk_sql
+
+    return tfidf_topk_sql("documents", k=5)
 
 
 def _chunk_sql() -> str:

@@ -303,6 +303,112 @@ LIMIT {k}
 """
 
 
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` keyword terms by smoothed TF-IDF —
+    the classic keyword-extraction / document-vector op a curation
+    pipeline runs corpus-wide.
+
+    Same scale shape as :func:`bm25_topk_tokenjoin`: tokenize once,
+    ONE corpus-scale (doc, term) exchange for term frequencies,
+    document frequency as a window count over the tf rows (one row per
+    (doc, term) — no second corpus subtree), a 1-row doc-count
+    broadcast, and the per-doc top-k as a rank window with a LITERAL
+    bound so Spark pushes a partial WindowGroupLimit map-side (the
+    quota_sample lesson).
+
+    idf is the smoothed sklearn form ln((N+1)/(df+1)) + 1 (never
+    zero/negative, defined for df=N); scores are integer micro-units
+    (round(tf*idf*1e6)) so both engines hash identically.  Returns
+    (id_col, term, tf, score_micro, rank) with ties broken by term
+    ascending — fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks")
+    )
+    stats = toks.agg(F.count(F.lit(1)).alias("_n"))
+    tf = (
+        toks.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).join(F.broadcast(stats))
+    idf = (
+        F.log(
+            (F.col("_n").cast("double") + F.lit(1.0))
+            / (F.col("_df").cast("double") + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    scored = tf.select(
+        id_col,
+        "term",
+        "tf",
+        F.round(F.col("tf").cast("double") * idf * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score_micro", "rank")
+    )
+
+
+def tfidf_topk_sql(
+    table: str,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`tfidf_topk_terms` — same tokenizer,
+    same smoothed idf association, same micro quantization and
+    (score desc, term asc) tie-break."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+    list_filter(string_split_regex(lower(coalesce({text_col}, '')),
+                                   '{TOKEN_SPLIT_PATTERN}'),
+                x -> x <> '') AS _toks
+  FROM {table}
+), stats AS (
+  SELECT COUNT(*) AS _n FROM toks
+), tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf
+  FROM (SELECT {id_col}, unnest(_toks) AS term FROM toks)
+  GROUP BY {id_col}, term
+), wdf AS (
+  SELECT {id_col}, term, tf,
+         COUNT(*) OVER (PARTITION BY term) AS _df
+  FROM tf
+), scored AS (
+  SELECT {id_col}, term, tf,
+    CAST(round(CAST(tf AS DOUBLE)
+      * (ln((CAST(_n AS DOUBLE) + 1.0) / (CAST(_df AS DOUBLE) + 1.0))
+         + 1.0)
+      * 1000000.0) AS BIGINT) AS score_micro
+  FROM wdf, stats
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+             ORDER BY score_micro DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT {id_col}, term, tf, score_micro, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def chunk_documents(
     docs: DataFrame,
     window: int = 64,

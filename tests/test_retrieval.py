@@ -367,6 +367,75 @@ class TestBM25TokenJoin:
             assert abs(narrow[i] - wide[i]) <= len(terms)
 
 
+class TestTfidfKeywords:
+    DOCS = [
+        (1, "spark spark spark joins the window table"),
+        (2, "the the the common words everywhere"),
+        (3, "unique zebra quantum"),
+        (4, ""),
+        (5, None),
+        (6, "the window"),
+    ]
+
+    @staticmethod
+    def _py_tfidf(docs, k):
+        import re
+        from collections import Counter
+
+        toks = {
+            i: [t for t in re.split(r"[^a-z0-9]+", (txt or "").lower()) if t]
+            for i, txt in docs
+        }
+        n = len(toks)
+        df = Counter(t for v in toks.values() for t in set(v))
+        out = []
+        for i, tk in toks.items():
+            scored = []
+            for t, tf in Counter(tk).items():
+                idf = math.log((n + 1.0) / (df[t] + 1.0)) + 1.0
+                scored.append((t, tf, int(round(tf * idf * 1_000_000.0))))
+            scored.sort(key=lambda r: (-r[2], r[0]))
+            for rank, (t, tf, sm) in enumerate(scored[:k], 1):
+                out.append((i, t, tf, sm, rank))
+        return sorted(out)
+
+    def test_matches_python_reference_exactly(self, spark):
+        from mongo2neo_spark.operators.retrieval import tfidf_topk_terms
+
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        got = sorted(
+            (r.doc_id, r.term, r.tf, r.score_micro, r["rank"])
+            for r in tfidf_topk_terms(df, k=3).collect()
+        )
+        assert got == self._py_tfidf(self.DOCS, 3)
+        # rare terms outrank corpus-wide stopwords within a doc
+        rank1 = [g for g in got if g[0] == 1 and g[4] == 1]
+        assert rank1 and rank1[0][1] == "spark"
+
+    def test_sql_mirror_agrees(self, spark):
+        duckdb = pytest.importorskip("duckdb")
+        import pandas as pd
+
+        from mongo2neo_spark.operators.retrieval import (
+            tfidf_topk_sql,
+            tfidf_topk_terms,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        got = sorted(
+            tuple(r) for r in tfidf_topk_terms(df, k=3).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(self.DOCS, columns=["doc_id", "text"])
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.sql(tfidf_topk_sql("documents", k=3)).fetchall()
+        )
+        assert got == want
+
+
 class TestBM25QueryValidation:
     def _df(self, spark):
         return spark.createDataFrame(DOCS, "doc_id bigint, text string")
