@@ -33,6 +33,7 @@ from scaling import (  # noqa: E402
     EXEC_CORES,
     EXEC_MEM_MB,
     SIZES,
+    bracket_leg,
     build_pyfiles_zip,
     host_calibration,
     require_healthy_window,
@@ -158,7 +159,14 @@ Totals (best interleaved pair): N {rn['wall_sec']}s
 {report['scaling_efficiency']}** (host ceiling this run
 {report['host_ceiling']}, normalized
 {report['efficiency_vs_host_ceiling']}).  Per-pair efficiencies:
-{report.get('pair_efficiencies')}.
+{report.get('pair_efficiencies')} (drift-corrected by per-leg
+16-core host-speed brackets:
+{report.get('pair_efficiencies_drift_corrected')}).
+
+Per-leg host telemetry (16-core calibration wall pre/post each leg,
+healthy ~3.0s, + /proc/stat deltas over the leg): N
+{rn.get('leg_cal16')} cpu {rn.get('leg_cpu')}; 4N
+{r4.get('leg_cal16')} cpu {r4.get('leg_cpu')}.
 
 Two-point decomposition at THIS corpus size, T(p) = a/p + b:
 parallel work a = {round(a):,} core-s, non-scaling share b = {round(b, 1)} s
@@ -222,18 +230,22 @@ def main() -> None:
     import time as _time
 
     for i in range(k):
+        # every leg bracketed by 16-core host-speed samples +
+        # /proc/stat deltas (round-6 attempt #4: a 0.917 pre-gate
+        # window still throttled the 4N legs mid-campaign; brackets
+        # make that a per-leg measurement, not an inference)
         if order_4n_first:
-            r_4n = run_at(SIZES["4N"], zpath)
-            print(f"  pair {i} 4N:", r_4n)
+            r_4n = bracket_leg(lambda: run_at(SIZES["4N"], zpath))
+            print(f"  pair {i} 4N:", r_4n, flush=True)
             _time.sleep(cooldown)
-            r_n = run_at(SIZES["N"], zpath)
-            print(f"  pair {i} N :", r_n)
+            r_n = bracket_leg(lambda: run_at(SIZES["N"], zpath))
+            print(f"  pair {i} N :", r_n, flush=True)
         else:
-            r_n = run_at(SIZES["N"], zpath)
-            print(f"  pair {i} N :", r_n)
+            r_n = bracket_leg(lambda: run_at(SIZES["N"], zpath))
+            print(f"  pair {i} N :", r_n, flush=True)
             _time.sleep(cooldown)
-            r_4n = run_at(SIZES["4N"], zpath)
-            print(f"  pair {i} 4N:", r_4n)
+            r_4n = bracket_leg(lambda: run_at(SIZES["4N"], zpath))
+            print(f"  pair {i} 4N:", r_4n, flush=True)
         if i < k - 1:
             _time.sleep(cooldown)
         assert r_n["checks"] == r_4n["checks"], (
@@ -241,8 +253,16 @@ def main() -> None:
             f"N={r_n['checks']} 4N={r_4n['checks']}"
         )
         eff = (r_4n["vecs_per_sec"] / r_n["vecs_per_sec"]) / 4.0
-        pairs.append({"N": r_n, "4N": r_4n, "eff": round(eff, 3)})
-        print(f"  pair {i} eff: {round(eff, 3)}")
+        # drift correction: each leg's wall scales with the host speed
+        # its own brackets measured; the reference speed cancels, so
+        # eff_dc = eff_raw * (cal16 during 4N leg / cal16 during N leg)
+        cal_n = sum(r_n["leg_cal16"].values()) / 2.0
+        cal_4n = sum(r_4n["leg_cal16"].values()) / 2.0
+        eff_dc = eff * (cal_4n / cal_n)
+        pairs.append({"N": r_n, "4N": r_4n, "eff": round(eff, 3),
+                      "eff_drift_corrected": round(eff_dc, 3)})
+        print(f"  pair {i} eff: {round(eff, 3)} "
+              f"(drift-corrected {round(eff_dc, 3)})", flush=True)
     best = max(pairs, key=lambda p: p["eff"])
     r_n, r_4n, eff = best["N"], best["4N"], best["eff"]
     cal_post = host_calibration(
@@ -255,6 +275,9 @@ def main() -> None:
         "4N": r_4n,
         "scaling_efficiency": eff,
         "pair_efficiencies": [p["eff"] for p in pairs],
+        "pair_efficiencies_drift_corrected": [
+            p["eff_drift_corrected"] for p in pairs
+        ],
         "host_ceiling": cal["ceiling"],
         "host_ceiling_post": cal_post["ceiling"],
         "efficiency_vs_host_ceiling": round(eff / cal["ceiling"], 3),

@@ -156,6 +156,49 @@ def require_healthy_window(
     raise SystemExit(3)
 
 
+def read_cpu_stat() -> dict:
+    """Aggregate /proc/stat cpu counters (jiffies since boot).  Deltas
+    across a measurement leg expose hypervisor steal and host-wide
+    contention that a short calibration probe cannot see."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    keys = ["user", "nice", "system", "idle", "iowait", "irq",
+            "softirq", "steal"]
+    return dict(zip(keys, (int(x) for x in parts[1:9])))
+
+
+def cpu_stat_delta(pre: dict, post: dict) -> dict:
+    d = {k: post[k] - pre[k] for k in pre}
+    tot = sum(d.values()) or 1
+    return {
+        "steal_pct": round(100.0 * d["steal"] / tot, 2),
+        "idle_pct": round(100.0 * d["idle"] / tot, 2),
+        "iowait_pct": round(100.0 * d["iowait"] / tot, 2),
+        "busy_pct": round(
+            100.0 * (d["user"] + d["nice"] + d["system"]) / tot, 2
+        ),
+        "jiffies": tot,
+    }
+
+
+def bracket_leg(fn, cal_cores: int = 16) -> dict:
+    """Run one measurement leg bracketed by 16-core host-speed samples
+    (the fixed calibration workload's wall, ~3s on a healthy host) and
+    /proc/stat CPU accounting.  Round-6 attempt #4 showed the host can
+    pass a pre-campaign ceiling gate at 0.917 and still throttle wide
+    sustained work MID-campaign (4N legs 33-60% slow, N legs at
+    round-5 parity, checksums identical) — per-leg brackets turn that
+    from a post-hoc inference into a recorded measurement."""
+    pre_cal = host_calibration_wall(cal_cores)
+    pre_stat = read_cpu_stat()
+    r = fn()
+    post_stat = read_cpu_stat()
+    post_cal = host_calibration_wall(cal_cores)
+    r["leg_cal16"] = {"pre": round(pre_cal, 3), "post": round(post_cal, 3)}
+    r["leg_cpu"] = cpu_stat_delta(pre_stat, post_stat)
+    return r
+
+
 def spark_submit_bin() -> str:
     import pyspark
 

@@ -32,6 +32,7 @@ sys.path.insert(0, BENCH_DIR)
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 
 from scaling import (  # noqa: E402
+    bracket_leg,
     EXEC_CORES,
     EXEC_MEM_MB,
     SIZES,
@@ -122,7 +123,11 @@ actually scale.
 **Scaling efficiency {report['scaling_efficiency']}** (host ceiling
 pre {report['host_ceiling']} / post {report['host_ceiling_post']},
 normalized {report['efficiency_vs_host_ceiling']}); per-workload
-{per}; pair efficiencies {report.get('pair_efficiencies')}.  Both
+{per}; pair efficiencies {report.get('pair_efficiencies')}
+(drift-corrected by per-leg 16-core host-speed brackets:
+{report.get('pair_efficiencies_drift_corrected')}).  Per-leg host
+telemetry: N {rn.get('leg_cal16')} cpu {rn.get('leg_cpu')}; 4N
+{r4.get('leg_cal16')} cpu {r4.get('leg_cpu')}.  Both
 workload checksums (per-doc profile hash AND per-doc clean-text hash)
 asserted identical at both sizes.  Two-point decomposition
 T(p) = a/p + b: a = {round(a):,} core-s, b = {round(b, 1)} s
@@ -155,18 +160,32 @@ def main() -> None:
     )
     print("host calibration (pre):", cal)
     pairs = []
+    import time as _time
+
+    cooldown = int(os.environ.get("M2N_LEG_COOLDOWN", "60"))
     for i in range(k):
-        r_n = run_at(SIZES["N"], zpath)
-        print(f"  pair {i} N :", r_n)
-        r_4n = run_at(SIZES["4N"], zpath)
-        print(f"  pair {i} 4N:", r_4n)
+        # 4N-first + cooldown + per-leg host brackets, same protocol
+        # as ann_scaling.py (sustained-load throttling lands on the
+        # SECOND leg; brackets measure it instead of inferring it)
+        r_4n = bracket_leg(lambda: run_at(SIZES["4N"], zpath))
+        print(f"  pair {i} 4N:", r_4n, flush=True)
+        _time.sleep(cooldown)
+        r_n = bracket_leg(lambda: run_at(SIZES["N"], zpath))
+        print(f"  pair {i} N :", r_n, flush=True)
+        if i < k - 1:
+            _time.sleep(cooldown)
         assert r_n["checks"] == r_4n["checks"], (
             f"substring results diverge across cluster sizes: "
             f"N={r_n['checks']} 4N={r_4n['checks']}"
         )
         eff = (r_n["wall_sec"] / r_4n["wall_sec"]) / 4.0
-        pairs.append({"N": r_n, "4N": r_4n, "eff": round(eff, 3)})
-        print(f"  pair {i} eff: {round(eff, 3)}")
+        cal_n = sum(r_n["leg_cal16"].values()) / 2.0
+        cal_4n = sum(r_4n["leg_cal16"].values()) / 2.0
+        eff_dc = eff * (cal_4n / cal_n)
+        pairs.append({"N": r_n, "4N": r_4n, "eff": round(eff, 3),
+                      "eff_drift_corrected": round(eff_dc, 3)})
+        print(f"  pair {i} eff: {round(eff, 3)} "
+              f"(drift-corrected {round(eff_dc, 3)})", flush=True)
     best = max(pairs, key=lambda p: p["eff"])
     cal_post = host_calibration(
         SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES
@@ -178,6 +197,9 @@ def main() -> None:
         "4N": best["4N"],
         "scaling_efficiency": best["eff"],
         "pair_efficiencies": [p["eff"] for p in pairs],
+        "pair_efficiencies_drift_corrected": [
+            p["eff_drift_corrected"] for p in pairs
+        ],
         "host_ceiling": cal["ceiling"],
         "host_ceiling_post": cal_post["ceiling"],
         "efficiency_vs_host_ceiling": round(
