@@ -207,6 +207,10 @@ def main() -> None:
         "ZERO exchanges)"
     ] = plan_of(ret_mod.chunk_documents(docs, window=32, stride=24))
     sections[
+        "tfidf top-k terms (ONE (doc,term) exchange, window df over tf "
+        "rows, 1-row doc-count broadcast, partial WindowGroupLimit)"
+    ] = plan_of(ret_mod.tfidf_topk_terms(docs, k=5))
+    sections[
         "unigram-LM scoring (vocab-sized token agg, 1-row total "
         "broadcast, vocab broadcast re-join, per-doc int64 sums)"
     ] = plan_of(lm_mod.unigram_logprob(docs))
