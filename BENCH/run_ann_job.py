@@ -114,9 +114,19 @@ def main() -> None:
                 "n": int(r.n), "c": int(r.c)
             }
 
+    # index layout sized by DATA, IDENTICAL at every cluster size:
+    # ~128 MB of exploded (bkey, id, float32[32]) rows per sort task.
+    # Round-6 found the writers' defaultParallelism fallback made the
+    # 1-executor cluster sort 12M-row partitions through a ~1.25 GB
+    # per-task budget (multi-pass spill) while the 4-executor cluster
+    # wrote a different, finer layout — two different jobs posing as a
+    # scaling pair (see write_lsh_bucket_index docstring).
+    row_b = 16 + 8 + 8 + 4 * 32
+    idx_parts = max(32, (n_vecs * 8 * row_b) // (128 << 20) + 1)
+
     # ---- LSH: build once ...
     t0 = time.monotonic()
-    write_lsh_bucket_index(corpus, f"{idx_root}/lsh")
+    write_lsh_bucket_index(corpus, f"{idx_root}/lsh", partitions=idx_parts)
     lsh_idx = spark.read.parquet(f"{idx_root}/lsh")
     checks["lsh_index_rows"] = {"n": lsh_idx.count()}
     walls["lsh_build"] = round(time.monotonic() - t0, 2)
@@ -137,7 +147,9 @@ def main() -> None:
     t0 = time.monotonic()
     cents = train_ivf_centroids(corpus, n_centroids=32)
     ivf_train = round(time.monotonic() - t0, 2)
-    write_ivf_cell_index(corpus, cents, f"{idx_root}/ivf")
+    write_ivf_cell_index(
+        corpus, cents, f"{idx_root}/ivf", partitions=idx_parts
+    )
     ivf_idx = spark.read.parquet(f"{idx_root}/ivf")
     checks["ivf_index_rows"] = {"n": ivf_idx.count()}
     walls["ivf_build"] = round(time.monotonic() - t0, 2)

@@ -357,7 +357,16 @@ def generate_embeddings_distributed(
     Two regimes via the knobs: few clusters + large ``noise`` = an ANN
     retrieval corpus (IVF has coarse structure to exploit); many tiny
     clusters (n_clusters ~ n/4) + small ``noise`` (0.02 -> intra-cluster
-    cosine ~0.99) = a near-dup corpus with planted duplicate groups."""
+    cosine ~0.99) = a near-dup corpus with planted duplicate groups.
+
+    Emits ``array<float>`` — the SAME element type as the driver's
+    testdata embeddings.parquet (list<float>).  The round-6 12M-vector
+    campaign showed why this matters at scale: generating float64 here
+    doubled every byte the LSH/IVF index builds shuffle, sort and
+    write, and the synthetic corpus no longer modeled the contract
+    input.  Scoring still happens in float64 (float32->float64 casts
+    are exact, so results are bit-identical to hashing/scoring the
+    same values as doubles)."""
     import numpy as np
     import pandas as pd
 
@@ -377,11 +386,12 @@ def generate_embeddings_distributed(
                 v = centroid(int(i) % n_clusters) + noise * rng.standard_normal(dim)
                 out[j] = v / np.linalg.norm(v)
             yield pd.DataFrame(
-                {"vec_id": ids.astype("int64"), "embedding": list(out)}
+                {"vec_id": ids.astype("int64"),
+                 "embedding": list(out.astype(np.float32))}
             )
 
     ids = spark.range(0, n_vecs).repartition(partitions)
-    return ids.mapInPandas(gen, "vec_id long, embedding array<double>")
+    return ids.mapInPandas(gen, "vec_id long, embedding array<float>")
 
 
 def with_duplicates_and_shuffle(rows: List[Turn], seed: int = 7,

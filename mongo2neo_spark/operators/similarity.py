@@ -156,7 +156,8 @@ def hyperplane_buckets_udf(dim: int, n_planes: int = 8, n_tables: int = 4):
     @pandas_udf(T.ArrayType(T.LongType()))
     def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in batches:
-            m = np.vstack(vecs.to_numpy())  # (n, dim)
+            # float32 sources promote exactly; signs identical either way
+            m = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
             signs = (m @ planes.T) > 0  # (n, n_tables*n_planes)
             vals = signs.reshape(len(m), n_tables, n_planes) @ weights  # (n, T)
             yield pd.Series(list(vals))
@@ -308,13 +309,29 @@ def write_lsh_bucket_index(
     every file's FOOTER but still skips all non-matching ROW GROUPS
     (bkey min/max stats on the sorted-within-file layout — the
     `In(bkey,...)` pushdown prunes exactly as before; the sorted-file
-    test pins the layout, the indexed-entry oracles pin the answers)."""
+    test pins the layout, the indexed-entry oracles pin the answers).
+
+    Scale notes from the round-6 12M-vector campaign (96M index rows):
+    - ``_cv`` is stored in the SOURCE element type, not pre-cast to
+      double: the xn_tables explode replicates every vector, so a
+      float32 corpus cast early doubled the bytes this stage shuffles,
+      sorts and writes — the whole build was memory-bandwidth-bound at
+      16 cores.  Probes cast to double AFTER the pruned scan
+      (float32->float64 is exact; scores are bit-identical).
+    - ``partitions`` should be sized to DATA volume (~128 MB of
+      exploded rows per task), never to cluster width: the
+      defaultParallelism fallback below made a 1-executor cluster sort
+      12M-row/3+ GB partitions through a ~1.25 GB per-task execution
+      budget (multi-pass spill) while a 4-executor cluster wrote a
+      different, finer layout — two different jobs masquerading as a
+      scaling pair.  Callers that know the corpus size must pass it.
+    """
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     buckets = hyperplane_buckets_udf(dim, n_planes, n_tables)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col(vec_col).alias("_cv"),
     )
     bx = c.select(
         "neighbor_id", "_cv",
@@ -349,9 +366,11 @@ def write_ivf_cell_index(
     values the write parallelism is capped at n_centroids under EITHER
     partitioner — range partitioning never splits equal keys)."""
     c_assign = _centroid_assign_udf(centroids, 1)
+    # _cv stays in the SOURCE element type (same bandwidth rationale as
+    # write_lsh_bucket_index; probes cast to double post-scan)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col(vec_col).alias("_cv"),
     ).select(
         F.element_at(c_assign(F.col("_cv")), 1).alias("cell"),
         "neighbor_id", "_cv",
@@ -520,7 +539,12 @@ def lsh_bucketed_topk(
     )
     scored = cand.select(
         "query_id", "neighbor_id",
-        _cosine(F.col("_qv"), F.col("_cv"), use_dim).alias("cos"),
+        # persisted indexes store _cv in the source dtype; the cast to
+        # double happens HERE, after the bkey-pruned scan, on surviving
+        # rows only (exact for float32 sources — scores bit-identical)
+        _cosine(
+            F.col("_qv"), F.col("_cv").cast("array<double>"), use_dim
+        ).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     return _topk_from_scored(scored, k)
 
@@ -588,7 +612,10 @@ def _centroid_assign_udf(centroids, n_probe: int):
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in batches:
-            m = np.vstack(vecs.to_numpy())
+            # promote BEFORE normalizing: float32 division rounds in
+            # float32, so a float32 corpus would otherwise land in
+            # (rarely) different cells than the same values as doubles
+            m = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = m @ c.T  # (n, K)
             top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
@@ -730,7 +757,11 @@ def ivf_topk(
     )
     scored = cand.select(
         "query_id", "neighbor_id",
-        _cosine(F.col("_qv"), F.col("_cv"), use_dim).alias("cos"),
+        # index _cv may be float32 (source dtype) — cast after the
+        # cell-pruned scan; exact, so scores are bit-identical
+        _cosine(
+            F.col("_qv"), F.col("_cv").cast("array<double>"), use_dim
+        ).alias("cos"),
     )
     return _topk_from_scored(scored, k)
 
