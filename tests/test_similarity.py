@@ -364,3 +364,54 @@ def test_unroll_strategies_bit_identical(spark, emb_df):
         a = sorted(tuple(r) for r in fn(df, q, k=5, unroll=True, **kw).collect())
         b = sorted(tuple(r) for r in fn(df, q, k=5, unroll=False, **kw).collect())
         assert a == b and len(a) > 0
+
+
+def test_float32_index_storage_bit_identical_to_double(spark, tmp_path):
+    """Round-6 at-scale fix contract: indexes store ``_cv`` in the
+    SOURCE element type (a float32 corpus must NOT be widened to
+    double before the xn_tables explode — it doubled every byte the
+    12M-vector build shuffled/sorted/wrote), and probes cast to double
+    AFTER the pruned scan, so every probe row is bit-identical to
+    building from the same values pre-cast to double."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs)})
+    f32 = spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    )
+    assert isinstance(f32.schema["embedding"].dataType.elementType,
+                      T.FloatType)
+    f64 = f32.select("vec_id",
+                     F.col("embedding").cast("array<double>")
+                     .alias("embedding"))
+    q32, q64 = f32.filter("vec_id < 4"), f64.filter("vec_id < 4")
+
+    p32, p64 = str(tmp_path / "lsh32"), str(tmp_path / "lsh64")
+    similarity.write_lsh_bucket_index(f32, p32, n_planes=4, n_tables=6)
+    similarity.write_lsh_bucket_index(f64, p64, n_planes=4, n_tables=6)
+    i32, i64 = spark.read.parquet(p32), spark.read.parquet(p64)
+    # source dtype preserved in the persisted layout
+    assert isinstance(i32.schema["_cv"].dataType.elementType, T.FloatType)
+    assert isinstance(i64.schema["_cv"].dataType.elementType, T.DoubleType)
+    r32 = sorted(tuple(r) for r in similarity.lsh_bucketed_topk(
+        f32, q32, k=5, n_planes=4, n_tables=6, index=i32).collect())
+    r64 = sorted(tuple(r) for r in similarity.lsh_bucketed_topk(
+        f64, q64, k=5, n_planes=4, n_tables=6, index=i64).collect())
+    assert r32 == r64 and len(r32) > 0  # scores bit-identical, not approx
+
+    # IVF: quantizer trained once, both storage dtypes probe identically
+    cents = similarity.train_ivf_centroids(f64, n_centroids=4)
+    v32, v64 = str(tmp_path / "ivf32"), str(tmp_path / "ivf64")
+    similarity.write_ivf_cell_index(f32, cents, v32)
+    similarity.write_ivf_cell_index(f64, cents, v64)
+    j32 = spark.read.parquet(v32)
+    assert isinstance(j32.schema["_cv"].dataType.elementType, T.FloatType)
+    s32 = sorted(tuple(r) for r in similarity.ivf_topk(
+        f32, q32, k=5, centroids=cents, n_probe=2, index=j32).collect())
+    s64 = sorted(tuple(r) for r in similarity.ivf_topk(
+        f64, q64, k=5, centroids=cents, n_probe=2,
+        index=spark.read.parquet(v64)).collect())
+    assert s32 == s64 and len(s32) > 0
