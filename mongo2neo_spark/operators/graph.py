@@ -63,6 +63,11 @@ from .cc import _materialize
 BROADCAST_BUDGET_BYTES = 256 << 20
 BROADCAST_EDGE_ROW_BYTES = 64
 BROADCAST_NODE_ROW_BYTES = 80
+# adjacency-list broadcast sizing (triangle intersect venue): per-node
+# row overhead (UnsafeRow + map slot + array header) plus per-neighbor
+# array element (8 B data + offsets/padding)
+BROADCAST_ADJ_ROW_BYTES = 48
+BROADCAST_ADJ_ENTRY_BYTES = 16
 DEFAULT_BROADCAST_MAX_EDGES = BROADCAST_BUDGET_BYTES // BROADCAST_EDGE_ROW_BYTES  # 4M rows
 DEFAULT_BROADCAST_MAX_NODES = BROADCAST_BUDGET_BYTES // BROADCAST_NODE_ROW_BYTES  # ~3.3M rows
 
@@ -150,10 +155,17 @@ def cooccurrence_dropped_groups(
 # degrees & triangles
 # ---------------------------------------------------------------------------
 def node_degrees(edges: DataFrame) -> DataFrame:
-    """(node, degree) from canonical undirected (s1 < s2) edges."""
+    """(node, degree) from canonical undirected (s1 < s2) edges.
+
+    One explode pass instead of a two-branch union: the union form scans
+    the edge frame twice and runs twice the partial-aggregation tasks
+    (each building a full per-task node->count map); the explode emits
+    the same (2m)-row node stream in a single scan.  Values identical.
+    """
     return (
-        edges.select(F.col("s1").alias("node"))
-        .unionAll(edges.select(F.col("s2").alias("node")))
+        edges.select(
+            F.explode(F.array(F.col("s1"), F.col("s2"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -184,71 +196,163 @@ def triangle_counts(
     any orientation, which is what the id-ordered SQL oracle checks.
 
     Venue choice (size-adaptive, same discipline as the ANN query
-    venues): when the oriented edge set fits a broadcast
-    (``m <= broadcast_max_edges``, byte-budgeted — see
-    BROADCAST_BUDGET_BYTES; two legs broadcast, so the per-plan peak is
-    2x the budget) BOTH closing legs broadcast and the whole count collapses
-    to ONE stage — a scan of the oriented edges probing two in-memory
-    relations, wedges streaming straight into the closing probe and the
-    partial count without ever materializing.  The shuffle plan
-    (event-log-measured at 2.7M edges / 204M wedges) spends its wall
-    writing + reading the 2.2 GB wedge stream between two exchanges;
-    the broadcast plan eliminates both.  Above the threshold the
-    shuffle-everything plan stands — at that scale the wedge stream
-    dwarfs memory and the sort-merge join is the right physics.
+    venues).  ``broadcast_max_edges`` expresses a per-relation broadcast
+    BYTE budget (``broadcast_max_edges * BROADCAST_EDGE_ROW_BYTES``,
+    256 MB at the default — see BROADCAST_BUDGET_BYTES):
 
-    The oriented edge set feeds THREE join legs (and degrees feed two
-    union branches), so both the canonical edges and the oriented set
-    are checkpointed once — without that, an unpersisted upstream
-    (e.g. a co-occurrence build) would be recomputed ~6x, which at
-    scale costs more than the triangle join itself.  The oriented set
-    is round-robin repartitioned to the session shuffle width before
-    persisting so the probe/wedge stage keeps full parallelism even
-    when the caller hands in a few-partition edge frame.  The returned
-    per-node counts are checkpoint-backed (same convention as
+    * **Adjacency-intersect venue** (estimated oriented-adjacency
+      relation fits the budget: ``n_nodes * BROADCAST_ADJ_ROW_BYTES +
+      m * BROADCAST_ADJ_ENTRY_BYTES`` bytes; two probes broadcast the
+      same node-keyed relation, so the per-plan peak is 2x the budget).
+      The out-neighbor SET of every node is collected once
+      (one m-row exchange), broadcast, and every oriented edge
+      (lo, hi) counts ``array_intersect(N+(lo), N+(hi))`` map-side —
+      each element is exactly one closed triangle.  The wedge stream
+      (O(sum out_deg^2) rows — 413M rows for the 12M-edge sf1.0
+      co-occurrence graph, vs 12M actual edge rows) NEVER exists, not
+      even transiently: the old broadcast-both-legs plan still streamed
+      every wedge through the closing probe, and the shuffle plan wrote
+      and sorted all of them between two exchanges.  Per-node counts
+      come from ONE explode of a per-edge contribution array
+      ((lo, |I|), (hi, |I|), one (w, 1) per intersection element w) so
+      the join subtree is never duplicated; the explode emits one row
+      per TRIANGLE, the theoretical minimum for per-node counting.
+      Degree-ordered orientation still does the skew work: it bounds
+      every broadcast array at O(sqrt(m)) entries and minimizes the
+      total intersect cost.
+    * **Shuffle wedge-join fallback** above the budget: the classic
+      e1 ⋈ e2 ⋈ e3 sort-merge plan stands — at that scale the adjacency
+      relation no longer fits executor memory, and any shuffled variant
+      that attaches neighbor arrays to edges would move O(wedges) bytes
+      again (the guide-§8 "join sneaks the shuffle back in" trap), so
+      sorting the wedge stream is the right physics.  Callers with big
+      executors raise ``broadcast_max_edges`` to widen the venue.
+
+    The canonical edge set feeds the degree agg plus every orientation
+    re-derivation, so it is checkpointed once — without that, an
+    unpersisted upstream (e.g. a co-occurrence build) would be
+    recomputed several times, which at scale costs more than the
+    triangle work itself.  The node-sized degree map is checkpointed
+    (two broadcast legs) and broadcasts below
+    DEFAULT_BROADCAST_MAX_NODES, making orientation a map-side
+    transform with zero edge-stream exchange.  The returned per-node
+    counts are checkpoint-backed (same convention as
     connected_components); intermediates are released before return.
     """
-    und = _materialize(edges.select("s1", "s2"))
-    deg = node_degrees(und)
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # (s1, s2)-hash repartition before the checkpoint: canonical edges
+    # are distinct, so the full-key hash spreads evenly (no hub-node hot
+    # key, no round-robin pre-sort), and the checkpointed partition
+    # count pins every downstream map stage — including the CPU-heavy
+    # intersect probe, which runs directly over this cache — at session
+    # shuffle width even when the caller hands in a few-partition frame.
+    und = _materialize(
+        edges.select("s1", "s2").repartition(n_shuffle, "s1", "s2")
+    )
+    m = und.count()
+    deg = _materialize(node_degrees(und))
+    n_nodes = deg.count()
     d1 = deg.select(
         F.col("node").alias("s1"), F.col("degree").alias("_d1")
     )
     d2 = deg.select(
         F.col("node").alias("s2"), F.col("degree").alias("_d2")
     )
-    # orient each edge by (degree, node): lo -> hi
+    if n_nodes <= DEFAULT_BROADCAST_MAX_NODES:
+        d1, d2 = F.broadcast(d1), F.broadcast(d2)
+    # orient each edge by (degree, node): lo -> hi.  With the degree map
+    # broadcast this is a pure map-side transform of the und cache — it
+    # is deliberately NOT checkpointed: its two consumers (adjacency
+    # build, intersect probe) each re-derive it with two broadcast-hash
+    # probes over cached rows, far cheaper than writing and re-reading a
+    # 12M-row checkpoint (measured; checkpoint also erases the SQL-level
+    # partitioning, so materializing it buys no exchange reuse anyway).
     lower_first = (F.col("_d1") < F.col("_d2")) | (
         (F.col("_d1") == F.col("_d2")) & (F.col("s1") < F.col("s2"))
     )
-    n_shuffle = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    oriented = _materialize(
+    oriented = (
         und.join(d1, "s1")
         .join(d2, "s2")
         .select(
             F.when(lower_first, F.col("s1")).otherwise(F.col("s2")).alias("lo"),
             F.when(lower_first, F.col("s2")).otherwise(F.col("s1")).alias("hi"),
         )
-        .repartition(n_shuffle)
     )
-    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    e3 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    # m is a cheap count over the just-checkpointed und cache
-    if und.count() <= broadcast_max_edges:
-        tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
-    else:
-        tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    out = _materialize(
-        tri.select(
-            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    budget_bytes = broadcast_max_edges * BROADCAST_EDGE_ROW_BYTES
+    adj_bytes = (
+        n_nodes * BROADCAST_ADJ_ROW_BYTES + m * BROADCAST_ADJ_ENTRY_BYTES
+    )
+    if adj_bytes <= budget_bytes:
+        # one m-row exchange + agg, materialized ONCE: both broadcast
+        # probes below read this cache — without it each BroadcastExchange
+        # would re-run the whole adjacency aggregation (no exchange reuse
+        # across the differently-aliased subtrees, observed in the plan)
+        adj = _materialize(
+            oriented.groupBy("lo").agg(F.collect_set("hi").alias("_nb"))
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+        sz = F.size("_c").cast("long")
+        contribs = F.concat(
+            F.array(
+                F.struct(F.col("lo").alias("node"), sz.alias("n")),
+                F.struct(F.col("hi").alias("node"), sz.alias("n")),
+            ),
+            F.transform(
+                "_c",
+                lambda w: F.struct(
+                    w.alias("node"), F.lit(1).cast("long").alias("n")
+                ),
+            ),
+        )
+        agg_in = (
+            oriented.join(
+                F.broadcast(
+                    adj.select(
+                        F.col("lo").alias("_la"), F.col("_nb").alias("_nba")
+                    )
+                ),
+                F.col("lo") == F.col("_la"),
+            )
+            .join(
+                F.broadcast(
+                    adj.select(
+                        F.col("lo").alias("_lb"), F.col("_nb").alias("_nbb")
+                    )
+                ),
+                F.col("hi") == F.col("_lb"),
+            )
+            .select(
+                "lo", "hi", F.array_intersect("_nba", "_nbb").alias("_c")
+            )
+            .filter(F.size("_c") > 0)
+            .select(F.explode(contribs).alias("_e"))
+            .select(F.col("_e.node").alias("node"), F.col("_e.n").alias("n"))
+        )
+        out = _materialize(
+            agg_in.groupBy("node").agg(F.sum("n").alias("n_triangles"))
+        )
+        adj.unpersist()
+    else:
+        # the wedge plan feeds oriented to THREE join legs — materialize
+        # it once here (the intersect venue derives it map-side instead)
+        oriented_m = _materialize(oriented.repartition(n_shuffle))
+        e1 = oriented_m.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        e2 = oriented_m.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+        e3 = oriented_m.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        out = _materialize(
+            tri.select(
+                F.explode(
+                    F.array(F.col("a"), F.col("b"), F.col("c"))
+                ).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        oriented_m.unpersist()
     und.unpersist()
-    oriented.unpersist()
+    deg.unpersist()
     return out
 
 
