@@ -70,6 +70,33 @@ def _shingle_band_keys_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series(hashing.band_keys_batch(sigs))
 
 
+_BANDS_AND_HASHES_TYPE = T.StructType(
+    [
+        T.StructField("bands", T.ArrayType(T.StringType())),
+        T.StructField("sh", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+@pandas_udf(_BANDS_AND_HASHES_TYPE)
+def _bands_and_hashes_udf(
+    batches: Iterator[pd.Series],
+) -> Iterator[pd.DataFrame]:
+    """One Arrow pass yielding BOTH the LSH band keys and the distinct
+    shingle-hash array per text.  The banding UDF and the verify-array
+    UDF each start from the same ``shingle_hash_lists`` — running them
+    as two separate UDF columns shingles every document TWICE (two full
+    Python passes over the corpus); this fused form shares the one
+    shingle pass.  Field values are bit-identical to the two single
+    UDFs (same functions, same inputs)."""
+    for texts in batches:
+        hls = hashing.shingle_hash_lists(list(texts))
+        sigs = hashing.minhash_signatures_from_hashes(hls)
+        yield pd.DataFrame(
+            {"bands": hashing.band_keys_batch(sigs), "sh": hls}
+        )
+
+
 @pandas_udf(T.DoubleType())
 def _shingle_jaccard_udf(
     it: Iterator[Tuple[pd.Series, pd.Series]]
@@ -165,6 +192,13 @@ def minhash_candidate_pairs(
         F.col(id_col).cast("long").alias("id"),
         F.explode(_shingle_band_keys_udf(F.col(text_col))).alias("band_key"),
     )
+    return _pairs_from_band_stream(bands, band_cap)
+
+
+def _pairs_from_band_stream(bands: DataFrame, band_cap: int) -> DataFrame:
+    """(id, band_key) stream -> deduplicated candidate (a_id, b_id)
+    pairs with the K3 hot-band cap — shared by the standalone
+    candidate-pair API and the fused verified-edges path."""
     w = Window.partitionBy("band_key")
     bands = bands.withColumn("bs", F.count("*").over(w)).filter(
         F.col("bs") <= band_cap
@@ -233,9 +267,21 @@ def minhash_verified_edges(
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
     )
-    pairs = minhash_candidate_pairs(df, text_col, id_col, band_cap)
     if verify == "jvm":
-        sh = base.select("id", _shingle_hashes_udf(F.col("_t")).alias("_sh"))
+        # ONE fused Arrow pass computes band keys AND verify hash arrays,
+        # checkpointed so the candidate-pair subtree and the two verify
+        # joins all read the cache — the corpus is shingled in Python
+        # exactly once instead of twice (banding UDF + hashes UDF), and
+        # the band self-join no longer re-runs the UDF per join leg.
+        sig = df.select(
+            F.col(id_col).cast("long").alias("id"),
+            _bands_and_hashes_udf(F.col(text_col)).alias("_bh"),
+        ).localCheckpoint(eager=True)
+        pairs = _pairs_from_band_stream(
+            sig.select("id", F.explode("_bh.bands").alias("band_key")),
+            band_cap,
+        )
+        sh = sig.select("id", F.col("_bh.sh").alias("_sh"))
         # EXACT length prefilter (PPJoin's size bound): with |A| <= |B|,
         # jaccard = i/u <= |A|/|B|, so jaccard >= t forces
         # |A| >= t * |B|.  The (id, n_shingles) map is 16 B/doc — two
@@ -274,6 +320,7 @@ def minhash_verified_edges(
             F.col("jac") >= threshold
         )
     else:
+        pairs = minhash_candidate_pairs(df, text_col, id_col, band_cap)
         with_texts = pairs.join(
             base.select(F.col("id").alias("a_id"), F.col("_t").alias("a_t")),
             "a_id",

@@ -53,8 +53,17 @@ def unigram_logprob(
     Docs with zero tokens produce no row (they have no tokens to score
     — mirrored in the SQL oracle, where the unnest emits nothing).
     """
-    stream = docs.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    # tokenize ONCE: the vocabulary agg and the scoring join are two
+    # separate subtrees over the token stream, and without a
+    # materialization each re-scans and re-regex-tokenizes the corpus
+    # (the tokenize, not the agg, dominates — same trade as
+    # retrieval.bm25_topk_tokenjoin).  The cache holds the compact
+    # per-doc token ARRAYS; both explodes run from it.
+    tokenized = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks")
+    ).localCheckpoint(eager=True)
+    stream = tokenized.select(
+        F.col(id_col), F.explode("_toks").alias("token")
     )
     vocab = stream.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
     total = vocab.agg(F.sum("_c").alias("_t"))

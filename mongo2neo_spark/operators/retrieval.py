@@ -109,6 +109,12 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    # materialize the NARROW per-doc tf table once (id, dl, one int per
+    # term — ~48 B/doc, the guide-§8 "decide with small rows" proxy):
+    # the stats agg and the scoring projection are two separate subtrees,
+    # and without this the corpus is scanned and tokenized TWICE (the
+    # tokenize pass, not the scoring math, dominates — measured 2x).
+    toks = toks.localCheckpoint(eager=True)
     # collection stats: one row, partial-agg'd map-side; broadcast back
     stats = toks.agg(
         F.count(F.lit(1)).alias("_n"),
@@ -191,11 +197,25 @@ def bm25_topk_tokenjoin(
     """
     terms = normalize_query_terms(query_terms)
     spark = docs.sparkSession
-    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    # the broadcast term table carries a dense int index: after the
+    # map-side match the term STRING never needs to ride an exchange —
+    # the (doc, term) aggregation and the df window key on the 4-byte
+    # index (bijective with the term, so groupings and counts are
+    # unchanged), roughly halving the per-row shuffle bytes
+    qdf = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, _tidx int"
+    )
 
     toks = docs.select(
         F.col(id_col), tokens_col(text_col).alias("_toks")
     ).select(id_col, F.size("_toks").alias("dl"), "_toks")
+    # tokenize ONCE: the stats agg and the explode/join are separate
+    # subtrees, so without a materialization the corpus is scanned and
+    # regex-tokenized twice.  Unlike the narrow-query path this carries
+    # the token arrays (the explode needs them), a deliberate
+    # space-for-scan trade: one tokenized-corpus checkpoint vs a second
+    # full tokenize pass.
+    toks = toks.localCheckpoint(eager=True)
     # collection stats: 1 row, map-side partial agg, broadcast back
     stats = toks.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sum_dl")
@@ -203,8 +223,9 @@ def bm25_topk_tokenjoin(
     matched = (
         toks.select(id_col, "dl", F.explode("_toks").alias("term"))
         .join(F.broadcast(qdf), "term")
+        .select(id_col, "dl", "_tidx")
     )
-    tf = matched.groupBy(id_col, "term").agg(
+    tf = matched.groupBy(id_col, "_tidx").agg(
         F.count(F.lit(1)).alias("_tf"), F.max("dl").alias("dl")
     )
     # document frequency as a WINDOW count over the tf rows (one row
@@ -213,11 +234,11 @@ def bm25_topk_tokenjoin(
     # re-explodes and re-shuffles the whole corpus (no exchange reuse
     # across differing attribute ids) — the window keeps the plan to
     # exactly one corpus-token exchange, plus a matched-rows-only
-    # term exchange for the window itself
+    # term-index exchange for the window itself
     from pyspark.sql import Window
 
     tf = tf.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_tidx"))
     )
     scored = tf.join(F.broadcast(stats))
     avgdl = F.col("_sum_dl").cast("double") / F.col("_n").cast("double")

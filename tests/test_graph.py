@@ -149,21 +149,38 @@ class TestPagerank:
         assert total > PAGERANK_SCALE - len(rows) * 5 * 40
 
     def test_shuffle_venue_matches_broadcast_venue(self, spark):
-        # broadcast_max_nodes=0 forces the shuffle-join plan; integer
+        # driver_max_edges=0 keeps both calls on the DISTRIBUTED path;
+        # broadcast_max_nodes=0 then forces the shuffle-join plan; integer
         # arithmetic makes the two venues bit-identical, not just close
         from mongo2neo_spark.operators.graph import pagerank_integer
 
         e = _edges_df(spark, SMALL)
         via_bcast = sorted(
-            (r.node, r["rank"]) for r in pagerank_integer(e, iters=4).collect()
+            (r.node, r["rank"])
+            for r in pagerank_integer(e, iters=4, driver_max_edges=0).collect()
         )
         via_shuffle = sorted(
             (r.node, r["rank"])
             for r in pagerank_integer(
-                e, iters=4, broadcast_max_nodes=0
+                e, iters=4, broadcast_max_nodes=0, driver_max_edges=0
             ).collect()
         )
         assert via_bcast == via_shuffle
+
+    def test_driver_venue_matches_distributed(self, spark):
+        # the numpy driver loop must be bit-identical to the distributed
+        # iterate: same integer floor-division ops, order-free int sums
+        from mongo2neo_spark.operators.graph import pagerank_integer
+
+        e = _edges_df(spark, SMALL)
+        via_driver = sorted(
+            (r.node, r["rank"]) for r in pagerank_integer(e, iters=6).collect()
+        )
+        via_dist = sorted(
+            (r.node, r["rank"])
+            for r in pagerank_integer(e, iters=6, driver_max_edges=0).collect()
+        )
+        assert via_driver == via_dist
 
     def test_empty_edge_frame_returns_empty(self, spark):
         # n=0 must not reach the PAGERANK_SCALE // n divisions
