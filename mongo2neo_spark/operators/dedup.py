@@ -664,17 +664,33 @@ def _window_fps_udf(k: int):
     return fps
 
 
+# hot-fp broadcast budget for the substring-dedup candidate recovery:
+# fp-only rows, ~32 B each in a broadcast HashedRelation — 8M fps keeps
+# the relation within the engine-wide ~256 MB per-relation envelope
+# (operators.graph.BROADCAST_BUDGET_BYTES discipline)
+HOT_FP_BROADCAST_MAX = 8_000_000
+
+
 def _doc_windows(df: DataFrame, text_col: str, id_col: str, k: int,
                  fp_fn=None) -> DataFrame:
     """(id, pos, fp) — fingerprint of every k-token window (0-based
     token position).  ``fp_fn`` injects the fingerprint column builder
     (tests force a constant fp to prove the exact-gram verify keeps
     colliding-but-distinct windows apart, same pattern as
-    exact_dedup's hash_fn)."""
+    exact_dedup's hash_fn).
+
+    The per-doc fp ARRAY column is checkpointed before the posexplode:
+    the caller's gate and recovery subtrees both scan the window
+    stream, and without the materialization each would re-run the
+    fingerprint UDF over the whole corpus.  ~8 B/window, the most
+    compact form the stream has."""
     fps = fp_fn if fp_fn is not None else _window_fps_udf(k)
-    return df.select(
+    per_doc = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.posexplode(fps(F.col(text_col))).alias("pos", "fp"),
+        fps(F.col(text_col)).alias("_fps"),
+    ).localCheckpoint(eager=True)
+    return per_doc.select(
+        "id", F.posexplode("_fps").alias("pos", "fp")
     )
 
 
@@ -706,25 +722,45 @@ def duplicated_windows(
     collision can never flag a non-duplicated window (tested by
     injecting a constant fp), and identical grams always share an fp,
     so nothing is missed."""
-    # single-pass shape: the fingerprint UDF runs EXACTLY ONCE.  The
-    # naive [group fps -> semi-join wins] formulation scans the corpus
-    # (and re-runs the UDF) once per reuse of the window stream — 4
-    # ArrowEvalPython islands in the profile plan; instead, positions
-    # ride the (fp, id) aggregation as per-doc lists (bounded by one
-    # doc's occurrences of one fp), and "seen in >=2 distinct docs"
-    # becomes a PLAIN count(*) window over fp — (fp, id) rows are one
-    # per doc, so counting rows counts distinct docs without
-    # count_distinct's expense or collect_set's memory
+    # Fingerprint-gate shape (round 7, the round-6 verdict's "attack the
+    # bytes, not the window").  The fingerprint UDF still runs EXACTLY
+    # ONCE: its per-doc fp ARRAYS are checkpointed (~8 B/window, the
+    # compact form), and both gate and recovery scan that cache.
+    #
+    # * GATE: the old plan exchanged the full (fp, id, positions-list)
+    #   stream through an ObjectHashAggregate (whose near-distinct keys
+    #   overflow the hash fallback into a map-side SORT) and then
+    #   count-windowed it (a second full-stream sort post-exchange).
+    #   The gate only needs "fp seen >= 2 times": exchange the flat fp
+    #   column alone (no id, no positions — a fraction of the bytes),
+    #   repartition-then-count (the cooccurrence discipline: no
+    #   map-side hash map over near-distinct keys), zero sorts
+    #   anywhere.  Counting OCCURRENCES instead of distinct docs admits
+    #   a same-doc-repeat false candidate, which the exact-gram verify
+    #   below re-checks (it recomputes the >= 2-distinct-docs condition
+    #   on gram strings), so the final row set is IDENTICAL.
+    # * RECOVERY: candidate (id, pos) windows come from a semi-join of
+    #   the cached window stream against the hot-fp set — broadcast
+    #   when the hot set fits the byte budget (map-side, the window
+    #   stream never shuffles), shuffled-hash above it (narrow
+    #   (id, pos, fp) rows, still sort-free).
     wins = _doc_windows(df, text_col, id_col, k, fp_fn)
-    per_fp_doc = wins.groupBy("fp", "id").agg(
-        F.collect_list("pos").alias("_ps")
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    wfp = Window.partitionBy("fp")
-    cand = (
-        per_fp_doc.withColumn("nd", F.count("*").over(wfp))
-        .filter(F.col("nd") >= 2)
-        .select("id", F.explode("_ps").alias("pos"))
-    )
+    hot = (
+        wins.select("fp")
+        .repartition(n_shuffle, "fp")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("fp")
+    ).localCheckpoint(eager=True)
+    if hot.count() <= HOT_FP_BROADCAST_MAX:
+        cand = wins.join(F.broadcast(hot), "fp", "left_semi")
+    else:
+        cand = wins.join(hot.hint("shuffle_hash"), "fp", "left_semi")
+    cand = cand.select("id", "pos")
     base = _doc_tokens(df, text_col, id_col).select("id", "_toks")
     with_gram = cand.join(base, "id").select(
         "id", "pos",
