@@ -42,7 +42,10 @@ from scaling import (  # noqa: E402
 
 N_VECS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 N_DEDUP = max(50_000, N_VECS // 10)
-INPUT = f"/tmp/m2n_ann_cache/embeddings_{N_VECS}"
+# _f32 suffix versions the cache on the index dtype contract: a stale
+# float64-era corpus under the old unsuffixed path would silently
+# benchmark the double-width regime (round-6 ADVICE)
+INPUT = f"/tmp/m2n_ann_cache/embeddings_{N_VECS}_f32"
 DEDUP_INPUT = f"/tmp/m2n_ann_cache/neardup_{N_DEDUP}"
 
 SECTION_BEGIN = "<!-- ANN_SCALING_BEGIN -->"

@@ -123,6 +123,11 @@ def main() -> None:
     # scaling pair (see write_lsh_bucket_index docstring).
     row_b = 16 + 8 + 8 + 4 * 32
     idx_parts = max(32, (n_vecs * 8 * row_b) // (128 << 20) + 1)
+    # the IVF index has ONE row per vector (no n_tables x posexplode
+    # multiplier), so it gets its own partition count — reusing the LSH
+    # 8x-sized idx_parts wrote the IVF index ~8x finer than the
+    # 128 MB/task target (many tiny files/tasks; round-6 ADVICE)
+    ivf_parts = max(32, (n_vecs * row_b) // (128 << 20) + 1)
 
     # ---- LSH: build once ...
     t0 = time.monotonic()
@@ -148,7 +153,7 @@ def main() -> None:
     cents = train_ivf_centroids(corpus, n_centroids=32)
     ivf_train = round(time.monotonic() - t0, 2)
     write_ivf_cell_index(
-        corpus, cents, f"{idx_root}/ivf", partitions=idx_parts
+        corpus, cents, f"{idx_root}/ivf", partitions=ivf_parts
     )
     ivf_idx = spark.read.parquet(f"{idx_root}/ivf")
     checks["ivf_index_rows"] = {"n": ivf_idx.count()}

@@ -275,7 +275,9 @@ class TestBM25TokenJoin:
                 part = idf * tf * (k1 + 1.0) / (
                     tf + k1 * ((1.0 - b) + b * float(dl) / avgdl)
                 )
-                sm += int(round(part * 1_000_000.0))
+                # half-UP like Spark F.round / DuckDB round — Python's
+                # round() is banker's and would diverge on exact .5
+                sm += int(math.floor(part * 1_000_000.0 + 0.5))
                 matched += 1
             if matched:
                 out[i] = (sm, dl, matched)
@@ -338,10 +340,14 @@ class TestBM25TokenJoin:
         # df-per-term and per-doc aggs repartition matched rows only
         import re as _re
 
+        # the exchange keys on the broadcast term table's dense int
+        # index (_tidx), not the term string — round-7 narrowing of the
+        # matched-stream shuffle bytes
         tok_ex = [
             ln
             for ln in plan.splitlines()
-            if "Exchange hashpartitioning" in ln and "term" in ln and "doc_id" in ln
+            if "Exchange hashpartitioning" in ln and "_tidx" in ln
+            and "doc_id" in ln
         ]
         assert len(tok_ex) == 1, plan
 
@@ -393,7 +399,10 @@ class TestTfidfKeywords:
             scored = []
             for t, tf in Counter(tk).items():
                 idf = math.log((n + 1.0) / (df[t] + 1.0)) + 1.0
-                scored.append((t, tf, int(round(tf * idf * 1_000_000.0))))
+                # half-up to match the engines' round (not banker's)
+                scored.append(
+                    (t, tf, int(math.floor(tf * idf * 1_000_000.0 + 0.5)))
+                )
             scored.sort(key=lambda r: (-r[2], r[0]))
             for rank, (t, tf, sm) in enumerate(scored[:k], 1):
                 out.append((i, t, tf, sm, rank))
