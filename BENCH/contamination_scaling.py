@@ -33,8 +33,10 @@ from scaling import (  # noqa: E402
     EXEC_CORES,
     EXEC_MEM_MB,
     SIZES,
+    bracket_leg,
     build_pyfiles_zip,
     host_calibration,
+    require_healthy_window,
     spark_submit_bin,
 )
 
@@ -112,10 +114,14 @@ eval-set count ({rn['eval_prep_sec']}s).
 | N  | {cn} | {wn} | {rn['docs_per_sec']:,} |
 | 4N | {c4} | {w4} | {r4['docs_per_sec']:,} |
 
-**Scaling efficiency {report['scaling_efficiency']}** (host ceiling
-this run {report['host_ceiling']}, normalized
+**Scaling efficiency {report['scaling_efficiency']}** (gatekeeper
+ceiling pre {report['host_ceiling']} / post
+{report.get('host_ceiling_post')}, normalized
 {report['efficiency_vs_host_ceiling']}); pair efficiencies
-{report.get('pair_efficiencies')}.  Contaminated docs
+{report.get('pair_efficiencies')} (drift-corrected by per-leg 16-core
+host-speed brackets: {report.get('pair_efficiencies_drift_corrected')};
+per-leg telemetry N {rn.get('leg_cal16')} cpu {rn.get('leg_cpu')}, 4N
+{r4.get('leg_cal16')} cpu {r4.get('leg_cpu')}).  Contaminated docs
 {r4['checks']['n_contaminated']:,} / hits hash asserted identical at
 both sizes.  Two-point decomposition T(p) = a/p + b: a =
 {round(a):,} core-s, b = {round(b, 1)} s (10x-input projection
@@ -140,32 +146,59 @@ def write_section(report: dict) -> None:
 
 
 def main() -> None:
+    # round-7 protocol upgrade (round-6 VERDICT #3): this campaign was
+    # the only family number predating the gatekeeper — it now runs the
+    # same discipline as substring/ann/graph: require_healthy_window
+    # before starting, 4N-first + cooldown (sustained-load throttling
+    # lands on the SECOND leg), per-leg 16-core host-speed brackets,
+    # and a drift-corrected efficiency next to the raw one.
     ensure_input()
     zpath = build_pyfiles_zip()
     k = int(os.environ.get("M2N_SCALE_RUNS", "1"))
-    cal = host_calibration(SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES)
-    print("host calibration:", cal)
+    cal = require_healthy_window(
+        SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES, tag="contamination"
+    )
+    print("host calibration (pre):", cal)
+    cooldown = int(os.environ.get("M2N_LEG_COOLDOWN", "60"))
+    import time as _time
+
     pairs = []
     for i in range(k):
-        r_n = run_at(SIZES["N"], zpath)
-        print(f"  pair {i} N :", r_n)
-        r_4n = run_at(SIZES["4N"], zpath)
-        print(f"  pair {i} 4N:", r_4n)
+        r_4n = bracket_leg(lambda: run_at(SIZES["4N"], zpath))
+        print(f"  pair {i} 4N:", r_4n, flush=True)
+        _time.sleep(cooldown)
+        r_n = bracket_leg(lambda: run_at(SIZES["N"], zpath))
+        print(f"  pair {i} N :", r_n, flush=True)
+        if i < k - 1:
+            _time.sleep(cooldown)
         assert r_n["checks"] == r_4n["checks"], (
             f"contamination results diverge across cluster sizes: "
             f"N={r_n['checks']} 4N={r_4n['checks']}"
         )
         eff = (r_4n["docs_per_sec"] / r_n["docs_per_sec"]) / 4.0
-        pairs.append({"N": r_n, "4N": r_4n, "eff": round(eff, 3)})
-        print(f"  pair {i} eff: {round(eff, 3)}")
+        cal_n = sum(r_n["leg_cal16"].values()) / 2.0
+        cal_4n = sum(r_4n["leg_cal16"].values()) / 2.0
+        eff_dc = eff * (cal_4n / cal_n)
+        pairs.append({"N": r_n, "4N": r_4n, "eff": round(eff, 3),
+                      "eff_drift_corrected": round(eff_dc, 3)})
+        print(f"  pair {i} eff: {round(eff, 3)} "
+              f"(drift-corrected {round(eff_dc, 3)})", flush=True)
     best = max(pairs, key=lambda p: p["eff"])
+    cal_post = host_calibration(
+        SIZES["N"] * EXEC_CORES, SIZES["4N"] * EXEC_CORES
+    )
+    print("host calibration (post):", cal_post)
     report = {
         "input_docs": best["N"]["docs"],
         "N": best["N"],
         "4N": best["4N"],
         "scaling_efficiency": best["eff"],
         "pair_efficiencies": [p["eff"] for p in pairs],
+        "pair_efficiencies_drift_corrected": [
+            p["eff_drift_corrected"] for p in pairs
+        ],
         "host_ceiling": cal["ceiling"],
+        "host_ceiling_post": cal_post["ceiling"],
         "efficiency_vs_host_ceiling": round(best["eff"] / cal["ceiling"], 3),
     }
     print(json.dumps(report))
