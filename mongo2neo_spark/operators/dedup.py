@@ -273,10 +273,16 @@ def minhash_verified_edges(
         # joins all read the cache — the corpus is shingled in Python
         # exactly once instead of twice (banding UDF + hashes UDF), and
         # the band self-join no longer re-runs the UDF per join leg.
+        from pyspark import StorageLevel
+
+        # DISK_ONLY: band-key strings + hash arrays as deserialized heap
+        # objects would linger in the block manager (checkpoint blocks
+        # are only context-cleaned on driver GC); serialized+compressed
+        # blocks keep the suite's heap flat for a cache read ~3 times
         sig = df.select(
             F.col(id_col).cast("long").alias("id"),
             _bands_and_hashes_udf(F.col(text_col)).alias("_bh"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         pairs = _pairs_from_band_stream(
             sig.select("id", F.explode("_bh.bands").alias("band_key")),
             band_cap,
@@ -684,11 +690,13 @@ def _doc_windows(df: DataFrame, text_col: str, id_col: str, k: int,
     stream, and without the materialization each would re-run the
     fingerprint UDF over the whole corpus.  ~8 B/window, the most
     compact form the stream has."""
+    from pyspark import StorageLevel
+
     fps = fp_fn if fp_fn is not None else _window_fps_udf(k)
     per_doc = df.select(
         F.col(id_col).cast("long").alias("id"),
         fps(F.col(text_col)).alias("_fps"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     return per_doc.select(
         "id", F.posexplode("_fps").alias("pos", "fp")
     )

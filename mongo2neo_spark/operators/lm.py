@@ -59,9 +59,11 @@ def unigram_logprob(
     # (the tokenize, not the agg, dominates — same trade as
     # retrieval.bm25_topk_tokenjoin).  The cache holds the compact
     # per-doc token ARRAYS; both explodes run from it.
+    from pyspark import StorageLevel
+
     tokenized = docs.select(
         F.col(id_col), tokens_col(text_col).alias("_toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     stream = tokenized.select(
         F.col(id_col), F.explode("_toks").alias("token")
     )

@@ -214,8 +214,13 @@ def bm25_topk_tokenjoin(
     # regex-tokenized twice.  Unlike the narrow-query path this carries
     # the token arrays (the explode needs them), a deliberate
     # space-for-scan trade: one tokenized-corpus checkpoint vs a second
-    # full tokenize pass.
-    toks = toks.localCheckpoint(eager=True)
+    # full tokenize pass.  DISK_ONLY: a deserialized in-memory cache of
+    # millions of token Strings is pure GC pressure for a block that is
+    # scanned exactly twice; serialized+compressed blocks cost a cheap
+    # sequential read instead.
+    from pyspark import StorageLevel
+
+    toks = toks.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     # collection stats: 1 row, map-side partial agg, broadcast back
     stats = toks.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sum_dl")

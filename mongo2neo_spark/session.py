@@ -48,6 +48,13 @@ DEFAULT_CONFS = {
     # event-log-measured 4.9 GB of sort-spill on a 1M-group build.
     # 64k keys of bounded small sets is a few tens of MB per task.
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "65536",
+    # several operators materialize ephemeral localCheckpoint caches
+    # (tokenized corpus, fingerprint arrays) whose blocks are only
+    # released when the driver GC lets the ContextCleaner see the dead
+    # references; the 30min default lets them pile up across a long
+    # multi-query session — 5min keeps the block manager flat without
+    # measurable overhead (a periodic System.gc on the driver only)
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 

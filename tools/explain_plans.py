@@ -142,14 +142,15 @@ def main() -> None:
         li, "l_orderkey", "l_partkey"
     ).select("s1", "s2")
     sections[
-        "co-occurrence edges (collect_set partial agg + JVM HOF pair "
-        "expansion — no Python, fan-out bounded per group)"
+        "co-occurrence edges (collect_set partial agg + chained-Generate "
+        "pair expansion — no Python, fan-out bounded per group)"
     ] = plan_of(
         graph_mod.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     )
     sections[
-        "triangle counts (degree-ordered orientation, wedge join + "
-        "closure join — hub-safe self-join)"
+        "triangle counts (degree-ordered orientation, broadcast "
+        "adjacency-intersect venue — one explode row per triangle; "
+        "wedge join only above the broadcast budget)"
     ] = plan_of(graph_mod.triangle_counts(part_edges))
     sections[
         "link prediction (wedge join, anti-join vs edges, integer ppm)"
