@@ -68,6 +68,11 @@ BROADCAST_NODE_ROW_BYTES = 80
 # array element (8 B data + offsets/padding)
 BROADCAST_ADJ_ROW_BYTES = 48
 BROADCAST_ADJ_ENTRY_BYTES = 16
+# the intersect venue may split the adjacency relation into hash chunks
+# (k^2 pruned probe passes, each broadcasting two <=budget chunks) —
+# bounded so the per-plan broadcast peak stays small and the pass count
+# (k^2 pruned scans of the cached edge frame) stays trivial
+ADJ_INTERSECT_MAX_CHUNKS = 2
 DEFAULT_BROADCAST_MAX_EDGES = BROADCAST_BUDGET_BYTES // BROADCAST_EDGE_ROW_BYTES  # 4M rows
 DEFAULT_BROADCAST_MAX_NODES = BROADCAST_BUDGET_BYTES // BROADCAST_NODE_ROW_BYTES  # ~3.3M rows
 
@@ -305,9 +310,12 @@ def triangle_counts(
     adj_bytes = (
         n_nodes * BROADCAST_ADJ_ROW_BYTES + m * BROADCAST_ADJ_ENTRY_BYTES
     )
-    if adj_bytes <= budget_bytes:
-        # one m-row exchange + agg, materialized ONCE: both broadcast
-        # probes below read this cache — without it each BroadcastExchange
+    n_chunks = (
+        -(-adj_bytes // budget_bytes) if budget_bytes > 0 else None
+    )
+    if n_chunks is not None and n_chunks <= ADJ_INTERSECT_MAX_CHUNKS:
+        # one m-row exchange + agg, materialized ONCE: every broadcast
+        # probe below reads this cache — without it each BroadcastExchange
         # would re-run the whole adjacency aggregation (no exchange reuse
         # across the differently-aliased subtrees, observed in the plan)
         adj = _materialize(
@@ -329,29 +337,60 @@ def triangle_counts(
                 ),
             ),
         )
-        agg_in = (
-            oriented.join(
-                F.broadcast(
-                    adj.select(
-                        F.col("lo").alias("_la"), F.col("_nb").alias("_nba")
-                    )
-                ),
-                F.col("lo") == F.col("_la"),
+
+        # chunked middle venue: when the adjacency outgrows ONE budgeted
+        # relation but fits ADJ_INTERSECT_MAX_CHUNKS of them, split the
+        # node space into k deterministic hash chunks and run the same
+        # probe as k^2 legs — leg (i, j) filters the cached edge frame
+        # to lo-chunk i / hi-chunk j map-side and broadcasts only those
+        # two adjacency chunks.  Chunks partition the nodes, so every
+        # edge lands in exactly one leg and the union is the exact
+        # per-edge intersect stream of the single-relation venue.
+        def _chunk(c):
+            return F.pmod(F.xxhash64(c.cast("long")), F.lit(n_chunks))
+
+        def _leg(i, j):
+            e, ai, aj = oriented, adj, adj
+            if n_chunks > 1:
+                e = e.filter(
+                    (_chunk(F.col("lo")) == i) & (_chunk(F.col("hi")) == j)
+                )
+                ai = adj.filter(_chunk(F.col("lo")) == i)
+                aj = adj.filter(_chunk(F.col("lo")) == j)
+            return (
+                e.join(
+                    F.broadcast(
+                        ai.select(
+                            F.col("lo").alias("_la"),
+                            F.col("_nb").alias("_nba"),
+                        )
+                    ),
+                    F.col("lo") == F.col("_la"),
+                )
+                .join(
+                    F.broadcast(
+                        aj.select(
+                            F.col("lo").alias("_lb"),
+                            F.col("_nb").alias("_nbb"),
+                        )
+                    ),
+                    F.col("hi") == F.col("_lb"),
+                )
+                .select(
+                    "lo", "hi", F.array_intersect("_nba", "_nbb").alias("_c")
+                )
+                .filter(F.size("_c") > 0)
+                .select(F.explode(contribs).alias("_e"))
+                .select(
+                    F.col("_e.node").alias("node"), F.col("_e.n").alias("n")
+                )
             )
-            .join(
-                F.broadcast(
-                    adj.select(
-                        F.col("lo").alias("_lb"), F.col("_nb").alias("_nbb")
-                    )
-                ),
-                F.col("hi") == F.col("_lb"),
-            )
-            .select(
-                "lo", "hi", F.array_intersect("_nba", "_nbb").alias("_c")
-            )
-            .filter(F.size("_c") > 0)
-            .select(F.explode(contribs).alias("_e"))
-            .select(F.col("_e.node").alias("node"), F.col("_e.n").alias("n"))
+
+        from functools import reduce
+
+        agg_in = reduce(
+            DataFrame.unionAll,
+            [_leg(i, j) for i in range(n_chunks) for j in range(n_chunks)],
         )
         out = _materialize(
             agg_in.groupBy("node").agg(F.sum("n").alias("n_triangles"))

@@ -107,6 +107,38 @@ class TestTriangles:
         }
         assert via_bcast == via_shuffle == _brute_triangles(SMALL)
 
+    def test_chunked_adjacency_venue_matches(self, spark):
+        # a budget that holds HALF the adjacency relation routes the
+        # intersect venue through the k=2 chunked legs (k^2 pruned
+        # probe passes); the per-node counts must be identical
+        from mongo2neo_spark.operators.graph import (
+            ADJ_INTERSECT_MAX_CHUNKS,
+            BROADCAST_ADJ_ENTRY_BYTES,
+            BROADCAST_ADJ_ROW_BYTES,
+            BROADCAST_EDGE_ROW_BYTES,
+            triangle_counts,
+        )
+
+        e = _edges_df(spark, SMALL)
+        m = len(SMALL)
+        n_nodes = len({x for p in SMALL for x in p})
+        adj_bytes = (
+            n_nodes * BROADCAST_ADJ_ROW_BYTES + m * BROADCAST_ADJ_ENTRY_BYTES
+        )
+        # pick a broadcast_max_edges whose byte budget yields exactly
+        # 2 chunks (budget in [adj/2, adj))
+        bme = next(
+            b
+            for b in range(1, 1000)
+            if -(-adj_bytes // (b * BROADCAST_EDGE_ROW_BYTES)) == 2
+        )
+        assert 2 <= ADJ_INTERSECT_MAX_CHUNKS
+        via_chunked = {
+            r.node: r.n_triangles
+            for r in triangle_counts(e, broadcast_max_edges=bme).collect()
+        }
+        assert via_chunked == _brute_triangles(SMALL)
+
     def test_degree_distribution(self, spark):
         from mongo2neo_spark.operators.graph import degree_distribution
 
